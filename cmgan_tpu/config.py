@@ -1,0 +1,125 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters hyperparameters between two argparse parsers and
+hard-coded constants (reference: src/train.py:16-30,47-48, src/evaluation.py:14,62,78,
+src/models/discriminator.py:25). Here every knob lives in one place, as
+frozen dataclasses so configs are hashable and can be closed over by jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DSPConfig:
+    """STFT front-end / back-end parameters.
+
+    Matches torch.stft(n_fft=400, hop=100, hamming, onesided, center=True)
+    semantics used at reference src/train.py:81-94 and src/evaluation.py:36-38.
+    """
+
+    sample_rate: int = 16_000
+    n_fft: int = 400
+    hop: int = 100
+    compress_exponent: float = 0.3
+
+    @property
+    def num_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def num_frames(self, num_samples: int) -> int:
+        # center=True reflect padding adds n_fft//2 on both sides.
+        return num_samples // self.hop + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """TSCNet generator + metric discriminator hyperparameters.
+
+    Reference: src/models/generator.py:159-172 (num_channel=64,
+    num_features=201), src/models/conformer.py:182-214 (heads=4,
+    dim_head=16, ff_mult=4, conv_kernel=31), src/train.py:55 (ndf=16).
+    """
+
+    num_channels: int = 64
+    num_features: int = 201
+    num_tscb_blocks: int = 4
+    dense_depth: int = 4
+    # Conformer
+    attn_heads: int = 4
+    ff_mult: int = 4
+    conv_expansion_factor: int = 2
+    conv_kernel_size: int = 31
+    attn_dropout: float = 0.2
+    ff_dropout: float = 0.2
+    conv_dropout: float = 0.0
+    max_rel_pos: int = 512
+    # Discriminator
+    ndf: int = 16
+    disc_dropout: float = 0.3
+
+    @property
+    def dim_head(self) -> int:
+        return self.num_channels // self.attn_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """GAN training loop parameters (reference: src/train.py:16-30,63-66,248-253)."""
+
+    epochs: int = 120
+    batch_size: int = 4  # per device, matching reference's per-GPU batch
+    log_interval: int = 500
+    decay_epochs: int = 30
+    init_lr: float = 5e-4
+    disc_lr_mult: float = 2.0
+    lr_gamma: float = 0.5
+    cut_len: int = 16_000 * 2
+    # [RI, magnitude, time, metric-GAN] (reference: src/train.py:28)
+    loss_weights: Tuple[float, float, float, float] = (0.1, 0.9, 0.2, 0.05)
+    data_dir: str = ""
+    save_model_dir: str = "./saved_model"
+    num_workers: int = 2
+    seed: int = 0
+    # PESQ labels normalized as (pesq - 1) / 3.5 (reference: src/models/discriminator.py:25)
+    pesq_norm_offset: float = 1.0
+    pesq_norm_scale: float = 3.5
+    # When True the discriminator update waits synchronously on host PESQ
+    # labels each step, matching the reference; async mode overlaps labeling
+    # with the next generator step (one step stale, off by default).
+    sync_pesq_labels: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Inference / evaluation parameters (reference: src/evaluation.py:78,103-111)."""
+
+    cut_len: int = 16_000 * 16
+    save_tracks: bool = False
+    save_dir: str = "./saved_tracks"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for SPMD training/inference.
+
+    The reference supports data parallelism only (DDP over NCCL,
+    src/train.py:68-69). We keep `data` as the primary axis and expose a
+    `seq` axis for long-form time-axis sharding (BASELINE.json config 5).
+    """
+
+    data_axis: str = "data"
+    seq_axis: str = "seq"
+    data_parallel: int = -1  # -1: all devices
+    seq_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class CMGANConfig:
+    dsp: DSPConfig = dataclasses.field(default_factory=DSPConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
