@@ -136,17 +136,20 @@ def _level_align(x):
     return x * np.sqrt(_TARGET_POWER / max(band_power, 1e-20))
 
 
-def _crude_align(ref, deg, max_delay=_FS // 2):
+def _crude_align(ref, deg):
     """Global delay estimate via envelope cross-correlation (FFT-based)."""
+    max_delay = min(_FS // 2, min(ref.size, deg.size) - _FRAME)
+    if max_delay <= 0:
+        return 0
     n = 1 << int(np.ceil(np.log2(ref.size + deg.size)))
     env_r = np.abs(ref)
     env_d = np.abs(deg)
     R = np.fft.rfft(env_r, n)
     D = np.fft.rfft(env_d, n)
     xc = np.fft.irfft(D * np.conj(R), n)
-    lags = np.concatenate([np.arange(0, max_delay), np.arange(n - max_delay, n)])
-    best = lags[np.argmax(xc[lags])]
-    return int(best if best < max_delay else best - n)
+    lags = np.arange(-max_delay, max_delay)  # same scan order as the C++ port
+    best = lags[np.argmax(xc[lags % n])]
+    return int(best)
 
 
 def _frames_power_spectrum(x):

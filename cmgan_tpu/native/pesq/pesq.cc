@@ -155,7 +155,9 @@ long next_pow2(long n) {
 
 // Global delay estimate via envelope cross-correlation.
 long crude_align(const std::vector<double>& ref, const std::vector<double>& deg) {
-  const long max_delay = kFs / 2;
+  const long max_delay = std::min<long>(
+      kFs / 2, static_cast<long>(std::min(ref.size(), deg.size())) - kFrame);
+  if (max_delay <= 0) return 0;
   long n = next_pow2(static_cast<long>(ref.size() + deg.size()));
   std::vector<std::complex<double>> R(n), D(n);
   for (size_t i = 0; i < ref.size(); ++i) R[i] = std::abs(ref[i]);

@@ -1,0 +1,90 @@
+"""GAN train state and optimizer construction.
+
+Unlike the reference (which checkpoints only the generator's
+state_dict, src/train.py:265-273, and cannot resume), the full state —
+both models' params and mutable stats, both AdamW states, step counter
+and PRNG key — is one pytree, checkpointable and restorable.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from cmgan_tpu.config import CMGANConfig
+from cmgan_tpu.models import MetricDiscriminator, TSCNet
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    gen_params: Any
+    gen_stats: Any  # BatchNorm running stats
+    disc_params: Any
+    disc_stats: Any  # spectral-norm u/v vectors
+    gen_opt: Any
+    disc_opt: Any
+    rng: jax.Array  # raw PRNG key data (uint32) — serializable
+
+
+def make_lr_schedule(cfg: CMGANConfig, steps_per_epoch: int, base_lr: float):
+    """StepLR x0.5 every decay_epochs epochs (reference: src/train.py:248-253)."""
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * (cfg.train.lr_gamma ** (epoch // cfg.train.decay_epochs))
+
+    return schedule
+
+
+def make_optimizers(cfg: CMGANConfig, steps_per_epoch: int):
+    """AdamW pair with torch-default hyperparameters (wd=0.01)."""
+    gen_tx = optax.adamw(
+        make_lr_schedule(cfg, steps_per_epoch, cfg.train.init_lr),
+        b1=0.9,
+        b2=0.999,
+        eps=1e-8,
+        weight_decay=0.01,
+    )
+    disc_tx = optax.adamw(
+        make_lr_schedule(
+            cfg, steps_per_epoch, cfg.train.disc_lr_mult * cfg.train.init_lr
+        ),
+        b1=0.9,
+        b2=0.999,
+        eps=1e-8,
+        weight_decay=0.01,
+    )
+    return gen_tx, disc_tx
+
+
+def init_train_state(
+    cfg: CMGANConfig, seed: int, steps_per_epoch: int, dtype=None
+) -> TrainState:
+    gen = TSCNet(cfg.model, dtype=dtype)
+    disc = MetricDiscriminator(cfg.model, dtype=dtype)
+
+    key = jax.random.key(seed)
+    k_gen, k_disc, k_state = jax.random.split(key, 3)
+
+    frames = cfg.dsp.num_frames(cfg.train.cut_len)
+    spec = jnp.zeros((1, frames, cfg.dsp.num_freqs, 2))
+    gen_vars = gen.init({"params": k_gen}, spec)
+    mag = jnp.zeros((1, frames, cfg.dsp.num_freqs))
+    disc_vars = disc.init({"params": k_disc}, mag, mag)
+
+    gen_tx, disc_tx = make_optimizers(cfg, steps_per_epoch)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_vars["params"],
+        gen_stats=gen_vars["batch_stats"],
+        disc_params=disc_vars["params"],
+        disc_stats=disc_vars["batch_stats"],
+        gen_opt=gen_tx.init(gen_vars["params"]),
+        disc_opt=disc_tx.init(disc_vars["params"]),
+        rng=jax.random.key_data(k_state),
+    )
