@@ -1,0 +1,86 @@
+"""Benchmark: enhancement throughput per chip at 16 kHz.
+
+Measures audio-seconds enhanced per wall-clock second through the full
+jitted pipeline (STFT -> TSCNet -> iSTFT) on 2 s segments (the model's
+native training context; offline eval chunks tracks the same way). The
+north-star target is >=50x realtime per chip (BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RTF = 50.0  # north-star: 50x realtime per chip
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cmgan_tpu.config import CMGANConfig
+    from cmgan_tpu.dsp import istft, power_compress, power_uncompress, stft
+    from cmgan_tpu.models import TSCNet
+
+    cfg = CMGANConfig()
+    dsp = cfg.dsp
+
+    batch = int(os.environ.get("CMGAN_BENCH_BATCH", "16"))
+    seg_seconds = int(os.environ.get("CMGAN_BENCH_SEG_SECONDS", "2"))
+    seg_len = dsp.sample_rate * seg_seconds
+
+    model = TSCNet(cfg.model)
+    frames = dsp.num_frames(seg_len)
+    spec0 = jnp.zeros((1, frames, dsp.num_freqs, 2), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, spec0)
+
+    @jax.jit
+    def enhance(variables, segments):
+        spec = stft(segments, dsp.n_fft, dsp.hop)
+        packed = power_compress(spec, exponent=dsp.compress_exponent)
+        est_real, est_imag = model.apply(variables, packed, train=False)
+        est = power_uncompress(est_real, est_imag, exponent=dsp.compress_exponent)
+        return istft(est, dsp.n_fft, dsp.hop)
+
+    rng = np.random.default_rng(0)
+    segments = jnp.asarray(
+        rng.standard_normal((batch, seg_len)).astype(np.float32) * 0.1
+    )
+
+    # compile + warmup (host fetch forces real completion — more robust
+    # than block_until_ready through remote-dispatch transports)
+    out = enhance(variables, segments)
+    np.asarray(out[0, :4])
+
+    # chain iterations (output feeds next input) so one final host fetch
+    # serializes the whole sequence without per-iteration sync overhead
+    iters = 10
+    t0 = time.perf_counter()
+    cur = segments
+    for _ in range(iters):
+        cur = enhance(variables, cur)
+    np.asarray(cur[0, :4])
+    dt = time.perf_counter() - t0
+
+    audio_seconds = iters * batch * seg_seconds
+    rtf = audio_seconds / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "enhancement_realtime_factor_per_chip",
+                "value": round(rtf, 2),
+                "unit": "audio_sec/sec (16 kHz, batch %d, fp32)" % batch,
+                "vs_baseline": round(rtf / BASELINE_RTF, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
