@@ -1,0 +1,83 @@
+"""Generator parity: reference torch TSCNet vs our flax TSCNet with
+imported weights — the end-to-end numerical check that the released
+reference checkpoint will evaluate faithfully.
+
+The torch reference model is imported from the read-only mount (not
+copied); skipped when the mount or its deps are absent.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_SRC = "/root/reference/src"
+
+
+@pytest.fixture(scope="module")
+def torch_ref():
+    if not os.path.isdir(REF_SRC):
+        pytest.skip("reference mount absent")
+    sys.path.insert(0, REF_SRC)
+    try:
+        import torch  # noqa: F401
+        from models.generator import TSCNet as TorchTSCNet
+    except ImportError as e:
+        pytest.skip(f"torch reference deps unavailable: {e}")
+    finally:
+        sys.path.remove(REF_SRC)
+    return TorchTSCNet
+
+
+def test_generator_forward_parity(torch_ref):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cmgan_tpu.checkpoint.torch_import import import_generator_state_dict
+    from cmgan_tpu.config import ModelConfig
+    from cmgan_tpu.models import TSCNet
+
+    torch.manual_seed(0)
+    tmodel = torch_ref(num_channel=64, num_features=201)
+    tmodel.eval()
+
+    T, F = 41, 201
+    rng = np.random.default_rng(0)
+    packed = rng.standard_normal((2, T, F, 2)).astype(np.float32) * 0.3
+
+    # torch consumes [B, 2, T, F]
+    x_t = torch.from_numpy(packed.transpose(0, 3, 1, 2).copy())
+    with torch.no_grad():
+        real_t, imag_t = tmodel(x_t)
+    real_t = real_t.numpy()[:, 0]  # [B, T, F]
+    imag_t = imag_t.numpy()[:, 0]
+
+    model = TSCNet(ModelConfig())
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, T, F, 2)))
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = import_generator_state_dict(sd, variables)
+
+    real_j, imag_j = model.apply(variables, jnp.asarray(packed), train=False)
+    real_j, imag_j = np.asarray(real_j), np.asarray(imag_j)
+
+    assert real_j.shape == real_t.shape
+    np.testing.assert_allclose(real_j, real_t, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(imag_j, imag_t, atol=2e-4, rtol=1e-3)
+
+
+def test_import_rejects_mismatched_dict(torch_ref):
+    import jax
+    import jax.numpy as jnp
+
+    from cmgan_tpu.checkpoint.torch_import import import_generator_state_dict
+    from cmgan_tpu.config import ModelConfig
+    from cmgan_tpu.models import TSCNet
+
+    model = TSCNet(ModelConfig())
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 11, 201, 2))
+    )
+    with pytest.raises(ValueError):
+        import_generator_state_dict({"bogus": np.zeros(3)}, variables)
