@@ -56,6 +56,9 @@ class ModelConfig:
     ff_dropout: float = 0.2
     conv_dropout: float = 0.0
     max_rel_pos: int = 512
+    # 'xla': dense logits; 'flash': Pallas fused kernel; 'auto': flash
+    # for sequences >= 512 frames (where dense logits blow HBM).
+    attention_impl: str = "auto"
     # Discriminator
     ndf: int = 16
     disc_dropout: float = 0.3

@@ -50,6 +50,12 @@ class RelPosAttention(nn.Module):
 
     pos_attn[i, j] = q_i . E[clip(i - j, ±max_pos) + max_pos] * scale
     added to the content logits. Reference: src/models/conformer.py:75-133.
+
+    attention_impl: 'xla' materializes dense logits; 'flash' uses the
+    fused Pallas kernel (cmgan_tpu/ops/flash_attention.py); 'auto'
+    switches to flash at >=512 frames, where dense [*, T, T] logits
+    dominate HBM. Flash is inference-only (no attention dropout); train
+    mode always takes the XLA path.
     """
 
     dim: int
@@ -57,6 +63,7 @@ class RelPosAttention(nn.Module):
     dim_head: int = 16
     dropout: float = 0.0
     max_pos_emb: int = 512
+    attention_impl: str = "auto"
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -73,23 +80,42 @@ class RelPosAttention(nn.Module):
         k = k.reshape(b, n, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(b, n, h, d).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
-
-        # Shaw relative positions, clipped to ±max_pos_emb.
         rel_table = self.param(
             "rel_pos_emb",
             nn.initializers.normal(stddev=1.0),
             (2 * self.max_pos_emb + 1, d),
         )
-        dist = np.arange(n)[:, None] - np.arange(n)[None, :]
-        dist = np.clip(dist, -self.max_pos_emb, self.max_pos_emb) + self.max_pos_emb
-        rel_emb = jnp.asarray(rel_table)[dist]  # [n, n, d]
-        if self.dtype is not None:
-            rel_emb = rel_emb.astype(self.dtype)
-        logits = logits + jnp.einsum("bhid,ijd->bhij", q, rel_emb) * scale
 
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        use_flash = not train and (
+            self.attention_impl == "flash"
+            or (self.attention_impl == "auto" and n >= 512)
+        )
+        if use_flash:
+            from cmgan_tpu.ops.flash_attention import flash_rel_attention
+
+            compute = jnp.float32 if self.dtype is None else self.dtype
+            out = flash_rel_attention(
+                (q * scale).astype(compute).reshape(b * h, n, d),
+                k.astype(compute).reshape(b * h, n, d),
+                v.astype(compute).reshape(b * h, n, d),
+                (jnp.asarray(rel_table) * scale).astype(compute),
+                self.max_pos_emb,
+            ).reshape(b, h, n, d)
+        else:
+            logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+            # Shaw relative positions, clipped to ±max_pos_emb.
+            dist = np.arange(n)[:, None] - np.arange(n)[None, :]
+            dist = (
+                np.clip(dist, -self.max_pos_emb, self.max_pos_emb)
+                + self.max_pos_emb
+            )
+            rel_emb = jnp.asarray(rel_table)[dist]  # [n, n, d]
+            if self.dtype is not None:
+                rel_emb = rel_emb.astype(self.dtype)
+            logits = logits + jnp.einsum("bhid,ijd->bhij", q, rel_emb) * scale
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
@@ -151,6 +177,7 @@ class ConformerBlock(nn.Module):
     ff_dropout: float = 0.0
     conv_dropout: float = 0.0
     max_pos_emb: int = 512
+    attention_impl: str = "auto"
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -167,6 +194,7 @@ class ConformerBlock(nn.Module):
             dim_head=self.dim_head,
             dropout=self.attn_dropout,
             max_pos_emb=self.max_pos_emb,
+            attention_impl=self.attention_impl,
             dtype=self.dtype,
             name="attn",
         )(y, train=train)

@@ -119,6 +119,7 @@ class TSCB(nn.Module):
             ff_dropout=c.ff_dropout,
             conv_dropout=c.conv_dropout,
             max_pos_emb=c.max_rel_pos,
+            attention_impl=c.attention_impl,
             dtype=self.dtype,
             name=name,
         )

@@ -1,0 +1,233 @@
+"""Fused attention kernel with Shaw relative positions (Pallas/TPU).
+
+The conformer's attention adds a data-dependent relative-position term
+  pos[i, j] = q_i . E[clip(i - j, ±max_pos) + max_pos]
+to the content logits (reference: src/models/conformer.py:103-111). As
+plain XLA this einsum materializes a [G, T, T(, D)] intermediate —
+~10 GB for a 16x2 s batch — and dominates both HBM traffic and wall
+clock. This kernel keeps everything in VMEM.
+
+Per (group g, q-block):
+  1. logits = q_blk @ K^T                  (MXU, [bq, t_pad] in VMEM)
+  2. U = q_blk @ revband^T, where revband is the REVERSED band of the
+     2*t_pad-1 possible relative embeddings
+     (revband[c] = E[clip((t_pad-1-c) , ±max_pos) + max_pos]).
+     Then pos[a, j] = U[a, (t_pad-1-i0) + j - a]: extracted with one
+     dynamic slice plus a log2(bq)-step row shear (row a rolled right
+     by a) — no gathers.
+  3. padded-key masking, f32 row softmax, @ V.
+
+K/V for a group stay in VMEM across consecutive q-blocks (the Pallas
+pipeline skips re-fetch when the block index is unchanged), so HBM
+traffic is O(T*D) per group instead of O(T^2).
+
+Backward falls back to the XLA reference implementation via custom_vjp
+(training contexts are 2 s where XLA attention fits; a fused bwd kernel
+can land later without API change).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def make_rel_band(rel_table, t: int, max_pos: int):
+    """band[s] = table[clip(s - (t-1), ±max_pos) + max_pos], s in [0, 2t-1).
+
+    This is the dense-XLA-facing band (unreversed), used by
+    `reference_attention` and tests.
+    """
+    s = np.arange(2 * t - 1) - (t - 1)
+    idx = np.clip(s, -max_pos, max_pos) + max_pos
+    return rel_table[idx]
+
+
+def reference_attention(q, k, v, rel_band, t_valid: int):
+    """XLA reference: q,k,v [G, T, D], rel_band [2T-1, D]. -> [G, T, D]."""
+    T = q.shape[1]
+    logits = jnp.einsum("gid,gjd->gij", q, k)
+    dist = np.arange(T)[:, None] - np.arange(T)[None, :] + T - 1  # [T, T]
+    rel = rel_band[dist]  # [T, T, D]
+    logits = logits + jnp.einsum("gid,ijd->gij", q, rel)
+    if t_valid < T:
+        mask = np.arange(T)[None, None, :] < t_valid
+        logits = jnp.where(mask, logits, -jnp.inf)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("gij,gjd->gid", attn, v)
+
+
+def _shear_rows(x, block_q: int):
+    """out[a, c] = x[a, (c - a) mod width] — log-step shear."""
+    a_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < block_q:
+        rolled = pltpu.roll(x, shift=shift, axis=1)
+        x = jnp.where((a_ids & shift) != 0, rolled, x)
+        shift *= 2
+    return x
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, revband_ref, out_ref, u_scratch,
+    *, block_q: int, block_g: int, t_pad: int, t_valid: int
+):
+    qb = pl.program_id(1)
+    i0 = qb * block_q
+    start = pl.multiple_of(t_pad - i0 - block_q, block_q)
+
+    # fori_loop over the group tile — amortizes kernel invocation
+    # overhead over block_g independent attention problems while keeping
+    # one set of live temporaries
+    def body(g, _):
+        # k/v/revband arrive TRANSPOSED ([D, T] layouts) so the large
+        # dimension sits on VMEM lanes — D=16 on lanes would pad 8x.
+        q = q_ref[g]  # [block_q, D]
+        k = k_ref[g]  # [D, t_pad]
+        v = v_ref[g]  # [D, t_pad]
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, t_pad]
+
+        # --- relative-position term ---
+        u_scratch[:] = jax.lax.dot_general(
+            q, revband_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, 2*t_pad]
+        # pos[a, j] = U[a, (t_pad-1-i0) + j - a]
+        # slice W[a, c] = U[a, c + t_pad - i0 - block_q] (width t_pad+block_q)
+        w = u_scratch[:, pl.ds(start, t_pad + block_q)]
+        # shear: V3[a, c] = W[a, c - a] => pos[a, j] = V3[a, j + block_q - 1]
+        v3 = _shear_rows(w, block_q)
+        pos = jax.lax.slice(v3, (0, block_q - 1), (block_q, block_q - 1 + t_pad))
+        logits = logits + pos
+
+        # mask padded keys; f32 row softmax (T fully resident)
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(j_ids < t_valid, logits, -jnp.inf)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        attn = (p / denom).astype(v.dtype)
+
+        out_ref[g] = jax.lax.dot_general(
+            attn, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, block_g, body, 0)
+
+
+def _flash_forward(
+    q, k, v, rel_table, max_pos: int, block_q: int = 128, block_g: int | None = None
+):
+    G, T, D = q.shape
+    t_pad = _round_up(T, block_q)
+
+    if block_g is None:
+        # VMEM budget. Per group (double-buffered): k,v [D, t_pad] and
+        # q/out [block_q, D->128 lanes]. Fixed: U scratch, revband, and
+        # the live [block_q, t_pad]-class temporaries in the loop body.
+        budget = 10 * 1024 * 1024
+        per_group = 2 * (2 * D * t_pad * 4) + 2 * 2 * block_q * _LANES * 4
+        fixed = (block_q * 2 * t_pad * 4) + (D * 2 * t_pad * 4) + 8 * block_q * t_pad * 4
+        block_g = int(max(1, min(16, (budget - fixed) // per_group)))
+
+    # reversed band over padded positions:
+    # revband[c] = E[clip(t_pad - 1 - c, ±max_pos) + max_pos], c in [0, 2*t_pad)
+    s = (t_pad - 1) - np.arange(2 * t_pad)
+    idx = np.clip(s, -max_pos, max_pos) + max_pos
+    revband = jnp.transpose(rel_table[idx])  # [D, 2*t_pad]
+
+    g_pad = _round_up(G, block_g)
+    pad_t = [(0, g_pad - G), (0, t_pad - T), (0, 0)]
+    qp = jnp.pad(q, pad_t)
+    # k/v transposed so the time axis is on VMEM lanes
+    kp = jnp.pad(jnp.transpose(k, (0, 2, 1)), [(0, g_pad - G), (0, 0), (0, t_pad - T)])
+    vp = jnp.pad(jnp.transpose(v, (0, 2, 1)), [(0, g_pad - G), (0, 0), (0, t_pad - T)])
+
+    grid = (g_pad // block_g, t_pad // block_q)
+    # interpreter mode on non-TPU backends (tests run on CPU)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel,
+            block_q=block_q, block_g=block_g, t_pad=t_pad, t_valid=T,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_g, block_q, D), lambda g, qb: (g, qb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_g, D, t_pad), lambda g, qb: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_g, D, t_pad), lambda g, qb: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (D, 2 * t_pad), lambda g, qb: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_g, block_q, D), lambda g, qb: (g, qb, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g_pad, t_pad, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, 2 * t_pad), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, revband)
+    return out[:G, :T, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_rel_attention(q, k, v, rel_table, max_pos: int):
+    """Fused attention with Shaw relative positions.
+
+    q, k, v: [G, T, D] (G = batch*heads groups); rel_table:
+    [2*max_pos+1, D] embedding table. Equivalent to
+    `reference_attention(q, k, v, make_rel_band(rel_table, T, max_pos), T)`.
+    """
+    return _flash_forward(q, k, v, rel_table, max_pos)
+
+
+def _fwd(q, k, v, rel_table, max_pos):
+    return _flash_forward(q, k, v, rel_table, max_pos), (q, k, v, rel_table)
+
+
+def _bwd(max_pos, res, g):
+    q, k, v, rel_table = res
+    T = q.shape[1]
+
+    def ref(q, k, v, table):
+        band = make_rel_band_traced(table, T, max_pos)
+        return reference_attention(q, k, v, band, T)
+
+    _, vjp = jax.vjp(ref, q, k, v, rel_table)
+    return vjp(g)
+
+
+def make_rel_band_traced(rel_table, t: int, max_pos: int):
+    s = np.arange(2 * t - 1) - (t - 1)
+    idx = np.clip(s, -max_pos, max_pos) + max_pos
+    return rel_table[idx]
+
+
+flash_rel_attention.defvjp(_fwd, _bwd)

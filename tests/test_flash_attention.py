@@ -1,0 +1,68 @@
+"""Flash rel-pos attention kernel vs the XLA reference implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmgan_tpu.ops.flash_attention import (
+    flash_rel_attention,
+    make_rel_band,
+    reference_attention,
+)
+
+MAX_POS = 512
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("t", [64, 128, 200, 321])
+def test_matches_reference(rng, t):
+    g, d = 6, 16
+    q = _rand(rng, g, t, d) * 0.5
+    k = _rand(rng, g, t, d) * 0.5
+    v = _rand(rng, g, t, d)
+    table = _rand(rng, 2 * MAX_POS + 1, d)
+
+    out = flash_rel_attention(q, k, v, table, MAX_POS)
+    band = make_rel_band(np.asarray(table), t, MAX_POS)
+    ref = reference_attention(q, k, v, jnp.asarray(band), t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_clipping_active(rng):
+    # T > max_pos so distance clipping takes effect
+    g, t, d, max_pos = 2, 160, 16, 64
+    q = _rand(rng, g, t, d) * 0.5
+    k = _rand(rng, g, t, d) * 0.5
+    v = _rand(rng, g, t, d)
+    table = _rand(rng, 2 * max_pos + 1, d)
+    out = flash_rel_attention(q, k, v, table, max_pos)
+    band = make_rel_band(np.asarray(table), t, max_pos)
+    ref = reference_attention(q, k, v, jnp.asarray(band), t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_gradients_flow_through_fallback(rng):
+    g, t, d = 2, 64, 16
+    q = _rand(rng, g, t, d) * 0.5
+    k = _rand(rng, g, t, d) * 0.5
+    v = _rand(rng, g, t, d)
+    table = _rand(rng, 2 * MAX_POS + 1, d)
+
+    def loss_flash(q, k, v, table):
+        return jnp.sum(flash_rel_attention(q, k, v, table, MAX_POS) ** 2)
+
+    def loss_ref(q, k, v, table):
+        band = make_rel_band(np.asarray(jax.lax.stop_gradient(table)), t, MAX_POS)
+        # trace band from table for gradient:
+        s = np.arange(2 * t - 1) - (t - 1)
+        idx = np.clip(s, -MAX_POS, MAX_POS) + MAX_POS
+        return jnp.sum(reference_attention(q, k, v, table[idx], t) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
