@@ -32,9 +32,10 @@ def main():
 
     batch = int(os.environ.get("CMGAN_BENCH_BATCH", "16"))
     seg_seconds = int(os.environ.get("CMGAN_BENCH_SEG_SECONDS", "2"))
+    use_bf16 = os.environ.get("CMGAN_BENCH_DTYPE", "bf16") == "bf16"
     seg_len = dsp.sample_rate * seg_seconds
 
-    model = TSCNet(cfg.model)
+    model = TSCNet(cfg.model, dtype=jnp.bfloat16 if use_bf16 else None)
     frames = dsp.num_frames(seg_len)
     spec0 = jnp.zeros((1, frames, dsp.num_freqs, 2), jnp.float32)
     variables = model.init({"params": jax.random.key(0)}, spec0)
@@ -44,7 +45,11 @@ def main():
         spec = stft(segments, dsp.n_fft, dsp.hop)
         packed = power_compress(spec, exponent=dsp.compress_exponent)
         est_real, est_imag = model.apply(variables, packed, train=False)
-        est = power_uncompress(est_real, est_imag, exponent=dsp.compress_exponent)
+        est = power_uncompress(
+            est_real.astype(jnp.float32),
+            est_imag.astype(jnp.float32),
+            exponent=dsp.compress_exponent,
+        )
         return istft(est, dsp.n_fft, dsp.hop)
 
     rng = np.random.default_rng(0)
@@ -75,7 +80,8 @@ def main():
             {
                 "metric": "enhancement_realtime_factor_per_chip",
                 "value": round(rtf, 2),
-                "unit": "audio_sec/sec (16 kHz, batch %d, fp32)" % batch,
+                "unit": "audio_sec/sec (16 kHz, batch %d, %s)"
+                % (batch, "bf16" if use_bf16 else "fp32"),
                 "vs_baseline": round(rtf / BASELINE_RTF, 3),
             }
         )
