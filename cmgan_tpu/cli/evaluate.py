@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--save_dir", type=str, default="./saved_tracks")
     p.add_argument("--exact", action="store_true",
                    help="reference-exact chunk shapes (recompiles per length)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="tracks per device batch (bucketed mode only)")
     p.add_argument("--limit", type=int, default=0, help="evaluate first N tracks only")
     p.add_argument("--json", action="store_true", help="emit one JSON line")
     return p.parse_args(argv)
@@ -77,19 +79,33 @@ def main(argv=None):
     if args.save_tracks:
         os.makedirs(args.save_dir, exist_ok=True)
 
-    mode = "exact" if args.exact else "bucket"
+    sr = cfg.dsp.sample_rate
     totals = np.zeros(6)
     audio_seconds = 0.0
     t0 = time.time()
-    for name in names:
-        noisy, sr = read_wav(os.path.join(noisy_dir, name))
-        assert sr == cfg.dsp.sample_rate, name
-        est = enhancer.enhance(noisy[0], mode=mode)
+    if args.exact or args.batch <= 1:
+        ests = []
+        for name in names:
+            noisy, r = read_wav(os.path.join(noisy_dir, name))
+            assert r == sr, name
+            ests.append(
+                enhancer.enhance(noisy[0], mode="exact" if args.exact else "bucket")
+            )
+    else:
+        tracks = []
+        for name in names:
+            noisy, r = read_wav(os.path.join(noisy_dir, name))
+            assert r == sr, name
+            tracks.append(noisy[0])
+        ests = enhancer.enhance_batch(tracks, batch_cap=args.batch)
+    enhance_wall = time.time() - t0
+
+    for name, est in zip(names, ests):
         audio_seconds += est.size / sr
         if args.save_tracks:
             write_wav(os.path.join(args.save_dir, name), est, sr)
-        clean, sr2 = read_wav(os.path.join(clean_dir, name))
-        assert sr2 == sr, name
+        clean, r = read_wav(os.path.join(clean_dir, name))
+        assert r == sr, name
         totals += np.array(compute_metrics(clean[0].astype(np.float64), est, sr, 0))
     wall = time.time() - t0
 
@@ -103,6 +119,7 @@ def main(argv=None):
         "ssnr": round(avg[4], 6),
         "stoi": round(avg[5], 6),
         "realtime_factor": round(audio_seconds / wall, 2),
+        "enhance_realtime_factor": round(audio_seconds / max(enhance_wall, 1e-9), 2),
     }
     if args.json:
         print(json.dumps(result))

@@ -86,6 +86,59 @@ class Enhancer:
 
         self._enhance_batch = _enhance_batch
 
+    def enhance_batch(
+        self,
+        tracks: list[np.ndarray],
+        batch_cap: int = 16,
+    ) -> list[np.ndarray]:
+        """Enhance many tracks, batching same-bucket tracks together.
+
+        In eval mode there is no cross-sample interaction (InstanceNorm
+        is per-sample; BatchNorm uses running stats), so padding a
+        batch with duplicate rows is exact. Tracks longer than cut_len
+        fall back to the single-track segmented path.
+        """
+        dsp, ev = self.cfg.dsp, self.cfg.eval
+        bucket = dsp.sample_rate
+        results: list[np.ndarray | None] = [None] * len(tracks)
+        groups: dict[int, list[int]] = {}
+        for i, t in enumerate(tracks):
+            t = np.asarray(t, np.float32).reshape(-1)
+            tracks[i] = t
+            padded = int(math.ceil(t.shape[-1] / bucket)) * bucket
+            if padded > ev.cut_len:
+                results[i] = self.enhance(t, mode="bucket")
+            else:
+                groups.setdefault(padded, []).append(i)
+
+        # HBM budget: cap rows-per-batch inversely with bucket length so
+        # activation footprint stays roughly constant (~2M samples/batch
+        # fits comfortably alongside fp32 attention on a 16 GB chip).
+        budget_samples = 2_000_000
+        for padded, idxs in groups.items():
+            cap = max(1, min(batch_cap, budget_samples // padded))
+            for lo in range(0, len(idxs), cap):
+                part = idxs[lo : lo + cap]
+                rows, scales = [], []
+                for i in part:
+                    t = tracks[i]
+                    c = math.sqrt(t.size / float(np.sum(t * t)))
+                    rows.append(bucket_pad(t * c, dsp.hop, ev.cut_len, bucket))
+                    scales.append(c)
+                batch = np.stack(rows)
+                if batch.shape[0] < cap:
+                    pad_rows = np.broadcast_to(
+                        batch[:1], (cap - batch.shape[0], padded)
+                    )
+                    batch = np.concatenate([batch, pad_rows])
+                est = np.asarray(
+                    self._enhance_batch(self.variables, jnp.asarray(batch))
+                )
+                for row, i, c in zip(est, part, scales):
+                    n = tracks[i].shape[-1]
+                    results[i] = (row[:n] / c).astype(np.float32)
+        return results  # type: ignore[return-value]
+
     def enhance(self, noisy: np.ndarray, mode: str = "bucket") -> np.ndarray:
         """Enhance one track [n] -> [n] (float32).
 

@@ -1,0 +1,185 @@
+"""Streaming (chunked, low-latency) enhancement.
+
+The reference has no streaming path — long tracks are chunked into an
+on-device batch offline (src/evaluation.py:25-34). This module adds a
+real-time capable path: a rolling analysis window slides over the
+input; each step enhances [left_context | chunk | lookahead] through
+the same jitted STFT->TSCNet->iSTFT graph (ONE compiled shape) and
+emits the chunk region, cross-faded with the previous emission over
+`crossfade` samples to hide seams.
+
+Algorithmic latency = chunk + lookahead (+ compute). The TSCNet time
+attention and dilated convs then see `left_context` seconds of past
+context, which is what drives quality; 1-2 s context recovers offline
+quality to within a few hundredths PESQ at a fraction of the latency.
+
+Level normalization uses a running RMS of the input (the offline
+whole-track RMS is unavailable causally), inverted on emission.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmgan_tpu.config import CMGANConfig
+from cmgan_tpu.dsp import istft, power_compress, power_uncompress, stft
+from cmgan_tpu.models import TSCNet
+
+
+class StreamingEnhancer:
+    """Push-based streaming enhancer with fixed compute shape.
+
+    Usage:
+        s = StreamingEnhancer(cfg, variables)
+        for block in audio_blocks:              # arbitrary block sizes
+            out.append(s.push(block))
+        out.append(s.flush())
+    """
+
+    def __init__(
+        self,
+        cfg: CMGANConfig,
+        variables,
+        chunk: int = 8000,           # 0.5 s emission granularity
+        left_context: int = 24000,   # 1.5 s past context
+        lookahead: int = 4000,       # 0.25 s future context
+        crossfade: int = 400,        # 25 ms seam blending
+        dtype=None,
+        rms_decay: float = 0.95,
+    ):
+        dsp = cfg.dsp
+        assert chunk % dsp.hop == 0 and left_context % dsp.hop == 0
+        assert lookahead % dsp.hop == 0 and 0 <= crossfade <= chunk
+        self.cfg = cfg
+        self.chunk = chunk
+        self.left_context = left_context
+        self.lookahead = lookahead
+        self.crossfade = crossfade
+        self.window = left_context + chunk + lookahead
+        self.rms_decay = rms_decay
+
+        self.model = TSCNet(cfg.model, dtype=dtype)
+        self.variables = variables
+
+        @jax.jit
+        def _enhance_window(variables, window, c):
+            x = window[None, :] * c
+            spec = stft(x, dsp.n_fft, dsp.hop)
+            packed = power_compress(spec, exponent=dsp.compress_exponent)
+            est_real, est_imag = self.model.apply(variables, packed, train=False)
+            est = power_uncompress(
+                est_real.astype(jnp.float32),
+                est_imag.astype(jnp.float32),
+                exponent=dsp.compress_exponent,
+            )
+            return istft(est, dsp.n_fft, dsp.hop)[0] / c
+
+        self._enhance_window = _enhance_window
+        self.reset()
+
+    def reset(self):
+        self._in_buffer = np.zeros(self.window, np.float32)
+        self._pending = np.zeros(0, np.float32)
+        self._prev_tail: Optional[np.ndarray] = None
+        self._mean_sq = 0.0
+        self._warm = False
+        # the first `lookahead` raw emitted samples precede stream index
+        # 0 (zero padding); drop them so output index i == input index i
+        self._skip = self.lookahead
+
+    @property
+    def latency_samples(self) -> int:
+        """Algorithmic latency (excl. compute): chunk + lookahead."""
+        return self.chunk + self.lookahead
+
+    def _step(self, new_chunk: np.ndarray) -> np.ndarray:
+        """Consume exactly `chunk` new samples, return `chunk` enhanced
+        samples (delayed by `lookahead`)."""
+        # slide the analysis window
+        self._in_buffer = np.concatenate(
+            [self._in_buffer[self.chunk :], new_chunk]
+        )
+        # running RMS from observed input (causal analog of the offline
+        # whole-track normalization, reference src/evaluation.py:21-23)
+        block_ms = float(np.mean(new_chunk**2))
+        if not self._warm:
+            self._mean_sq = max(block_ms, 1e-8)
+            self._warm = True
+        else:
+            self._mean_sq = (
+                self.rms_decay * self._mean_sq + (1 - self.rms_decay) * block_ms
+            )
+        c = np.float32(1.0 / np.sqrt(max(self._mean_sq, 1e-8)))
+
+        est = np.asarray(
+            self._enhance_window(self.variables, jnp.asarray(self._in_buffer), c)
+        )
+        # emission region: the chunk that now sits `lookahead` from the end
+        start = self.window - self.lookahead - self.chunk
+        out = est[start : start + self.chunk].copy()
+
+        if self.crossfade > 0:
+            fade = np.linspace(0.0, 1.0, self.crossfade, dtype=np.float32)
+            if self._prev_tail is not None:
+                out[: self.crossfade] = (
+                    fade * out[: self.crossfade]
+                    + (1.0 - fade) * self._prev_tail
+                )
+            # stash this step's estimate of the NEXT chunk's head
+            nxt = est[start + self.chunk : start + self.chunk + self.crossfade]
+            self._prev_tail = nxt.copy() if nxt.size == self.crossfade else None
+        return out
+
+    def _emit(self, raw: np.ndarray) -> np.ndarray:
+        if self._skip > 0:
+            cut = min(self._skip, raw.size)
+            self._skip -= cut
+            raw = raw[cut:]
+        return raw
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed arbitrary-length audio; returns whatever output is ready.
+
+        Output sample i is the enhanced input sample i (the stream runs
+        `latency_samples` behind the input in wall-clock terms).
+        """
+        self._pending = np.concatenate(
+            [self._pending, np.asarray(samples, np.float32).reshape(-1)]
+        )
+        outs = []
+        while self._pending.size >= self.chunk:
+            outs.append(self._emit(self._step(self._pending[: self.chunk])))
+            self._pending = self._pending[self.chunk :]
+        return np.concatenate(outs) if outs else np.zeros(0, np.float32)
+
+    def flush(self) -> np.ndarray:
+        """Emit the remainder (pads the stream tail with zeros)."""
+        remainder = self._pending.size
+        outs = []
+        if remainder:
+            pad = np.zeros(self.chunk - remainder, np.float32)
+            outs.append(self._emit(self._step(np.concatenate([self._pending, pad]))))
+        # push zeros to recover the lookahead-delayed tail
+        tail_steps = -(-self.lookahead // self.chunk) + 1
+        for _ in range(tail_steps):
+            outs.append(self._emit(self._step(np.zeros(self.chunk, np.float32))))
+        self._pending = np.zeros(0, np.float32)
+        out = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        # aligned samples still owed: the remainder plus the lookahead-
+        # delayed tail of the already-pushed chunks
+        return out[: remainder + self.lookahead]
+
+    def enhance_stream(
+        self, blocks: Iterator[np.ndarray]
+    ) -> Iterator[np.ndarray]:
+        for block in blocks:
+            out = self.push(block)
+            if out.size:
+                yield out
+        tail = self.flush()
+        if tail.size:
+            yield tail
