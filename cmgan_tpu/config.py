@@ -89,10 +89,11 @@ class TrainConfig:
     # PESQ labels normalized as (pesq - 1) / 3.5 (reference: src/models/discriminator.py:25)
     pesq_norm_offset: float = 1.0
     pesq_norm_scale: float = 3.5
-    # When True the discriminator update waits synchronously on host PESQ
-    # labels each step, matching the reference; async mode overlaps labeling
-    # with the next generator step (one step stale, off by default).
-    sync_pesq_labels: bool = True
+    # 'host': labels via the native C++ scorer (reference-faithful,
+    #   synchronous device->host round trip per step);
+    # 'device': labels via the on-TPU batched scorer (pesq_jax) — the
+    #   whole G+label+D step fuses into one XLA program.
+    pesq_label_mode: str = "host"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,3 +127,28 @@ class CMGANConfig:
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def long_form_48k(
+    num_tscb_blocks: int = 6,
+    num_channels: int = 64,
+    window_seconds: int = 30,
+) -> CMGANConfig:
+    """Scaled 48 kHz / long-form denoising preset (BASELINE config 5).
+
+    Same 12.5 ms frame rate as the 16 kHz config (n_fft/hop scaled 3x,
+    601 frequency bins), deeper TS-conformer stack, and long analysis
+    windows — the time conformer runs through the flash-attention
+    kernel ('auto' kicks in at >=512 frames), so a 30 s window is a
+    2401-frame attention context instead of an OOM. Scale-out is data
+    parallel over the mesh, as for the base config.
+    """
+    dsp = DSPConfig(sample_rate=48_000, n_fft=1200, hop=300)
+    model = ModelConfig(
+        num_channels=num_channels,
+        num_features=dsp.num_freqs,
+        num_tscb_blocks=num_tscb_blocks,
+    )
+    train = TrainConfig(cut_len=dsp.sample_rate * 2)
+    ev = EvalConfig(cut_len=dsp.sample_rate * window_seconds)
+    return CMGANConfig(dsp=dsp, model=model, train=train, eval=ev)

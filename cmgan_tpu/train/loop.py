@@ -2,10 +2,10 @@
 
 Mirrors the reference Trainer (src/train.py:45-275) — same loop
 structure, loss weights, LR schedule, per-epoch test pass and
-checkpointing — rebuilt around jitted SPMD steps and a host PESQ
-labeler. Improvements over the reference: full-state checkpoints with
-resume, an async PESQ-label mode (one step stale) that removes the host
-sync from the critical path, and global (all-process) loss reduction.
+checkpointing — rebuilt around jitted SPMD steps. Improvements over the
+reference: full-state checkpoints with resume, and an on-device PESQ
+label mode (pesq_label_mode='device') that fuses the whole G+label+D
+step into one XLA program with no host synchronization.
 """
 
 from __future__ import annotations
@@ -13,7 +13,6 @@ from __future__ import annotations
 import logging
 import os
 import time
-from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
@@ -37,24 +36,48 @@ class Trainer:
         dtype=None,
         mesh=None,
         state: Optional[TrainState] = None,
+        metrics_path: Optional[str] = None,
     ):
+        if cfg.train.pesq_label_mode not in ("host", "device"):
+            raise ValueError(
+                f"pesq_label_mode must be 'host' or 'device', "
+                f"got {cfg.train.pesq_label_mode!r}"
+            )
         self.cfg = cfg
+        self.metrics_logger = None
+        if metrics_path:
+            from cmgan_tpu.utils import MetricsLogger
+
+            self.metrics_logger = MetricsLogger(metrics_path)
         self.train_loader = train_loader
         self.test_loader = test_loader
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         steps_per_epoch = max(len(train_loader), 1)
-        self.g_step, self.d_step, self.test_fwd, self.test_disc_loss = (
-            make_train_steps(cfg, steps_per_epoch, dtype=dtype)
-        )
+        (
+            self.g_step,
+            self.d_step,
+            self.test_fwd,
+            self.test_disc_loss,
+            self.fused_step,
+        ) = make_train_steps(cfg, steps_per_epoch, dtype=dtype)
         if state is None:
             state = init_train_state(cfg, cfg.train.seed, steps_per_epoch, dtype=dtype)
         self.state = replicate_state(self.mesh, state)
-        self._pesq_pool = ThreadPoolExecutor(max_workers=1)
 
     # ------------------------------------------------------------------
     def train_step(self, clean: np.ndarray, noisy: np.ndarray):
-        """One synchronous GAN step; returns (gen_loss, disc_loss)."""
+        """One GAN step; returns (gen_loss, disc_loss).
+
+        pesq_label_mode='host': two device programs bridged by the
+        native CPU scorer (reference-faithful). 'device': one fused
+        program with on-TPU labels — no host synchronization.
+        """
         clean_d, noisy_d = shard_batch(self.mesh, clean, noisy)
+        if self.cfg.train.pesq_label_mode == "device":
+            self.state, metrics, disc_loss = self.fused_step(
+                self.state, clean_d, noisy_d
+            )
+            return float(metrics["gen_loss"]), float(disc_loss)
         self.state, metrics, handoff = self.g_step(self.state, clean_d, noisy_d)
         est_audio = np.asarray(handoff["est_audio"])
         scores = pesq_labels_host(clean, est_audio)
@@ -67,13 +90,24 @@ class Trainer:
         return float(metrics["gen_loss"]), float(disc_loss)
 
     def train_epoch(self, epoch: int):
+        from cmgan_tpu.utils import StepTimer
+
         interval = self.cfg.train.log_interval
-        t0 = time.time()
+        timer = StepTimer()
         for idx, (clean, noisy) in enumerate(self.train_loader):
             step = idx + 1
             gen_loss, disc_loss = self.train_step(clean, noisy)
+            timer.tick()
+            if self.metrics_logger is not None:
+                self.metrics_logger.log(
+                    int(jax.device_get(self.state.step)),
+                    epoch=epoch,
+                    gen_loss=gen_loss,
+                    disc_loss=disc_loss,
+                    step_seconds=timer.mean_step_seconds,
+                )
             if step % interval == 0:
-                rate = step * clean.shape[0] / (time.time() - t0)
+                rate = timer.steps_per_second() * clean.shape[0]
                 log.info(
                     "epoch %d step %d loss %.5f disc_loss %.5f (%.1f utt/s)",
                     epoch,

@@ -142,14 +142,13 @@ def _generator_loss(
 
 
 def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
-    """Returns (g_step, d_step, test_fwd) jitted functions."""
+    """Returns (g_step, d_step, test_fwd, test_disc_loss, fused_step)."""
     gen = TSCNet(cfg.model, dtype=dtype)
     disc = MetricDiscriminator(cfg.model, dtype=dtype)
     gen_tx, disc_tx = make_optimizers(cfg, steps_per_epoch)
     weights = cfg.train.loss_weights
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def g_step(state: TrainState, clean, noisy):
+    def _g_core(state: TrainState, clean, noisy):
         base_rng = jax.random.wrap_key_data(state.rng)
         dropout_rng = jax.random.fold_in(base_rng, state.step)
         disc_rng = jax.random.fold_in(dropout_rng, 17)
@@ -194,8 +193,7 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
         }
         return state, metrics, handoff
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def d_step(state: TrainState, clean_mag, est_mag, pesq_scores):
+    def _d_core(state: TrainState, clean_mag, est_mag, pesq_scores):
         valid = jnp.min(pesq_scores) >= 0.0
         labels = (pesq_scores - cfg.train.pesq_norm_offset) / cfg.train.pesq_norm_scale
         dropout_rng = jax.random.fold_in(
@@ -244,6 +242,23 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
         disc_loss = jnp.where(valid, loss, 0.0)
         return state, disc_loss
 
+    g_step = functools.partial(jax.jit, donate_argnums=(0,))(_g_core)
+    d_step = functools.partial(jax.jit, donate_argnums=(0,))(_d_core)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused_step(state: TrainState, clean, noisy):
+        """G update + on-device PESQ labels + D update as ONE XLA
+        program — no host round trip (requires pesq_label_mode='device').
+        """
+        from cmgan_tpu.metrics.pesq_jax import pesq_labels_jax
+
+        state, metrics, handoff = _g_core(state, clean, noisy)
+        scores = pesq_labels_jax(clean, handoff["est_audio"])
+        state, disc_loss = _d_core(
+            state, handoff["clean_mag"], handoff["est_mag"], scores
+        )
+        return state, metrics, disc_loss
+
     @jax.jit
     def test_fwd(state: TrainState, clean, noisy):
         """Eval-mode forward: returns generator loss parts + handoff."""
@@ -279,4 +294,4 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
         )
         return jnp.where(valid, loss, 0.0)
 
-    return g_step, d_step, test_fwd, test_disc_loss
+    return g_step, d_step, test_fwd, test_disc_loss, fused_step

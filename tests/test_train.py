@@ -41,7 +41,7 @@ def stepped():
     cfg = tiny_cfg()
     assert len(jax.devices()) == 8
     mesh = make_mesh(cfg.mesh)
-    g_step, d_step, test_fwd, test_disc = make_train_steps(cfg, steps_per_epoch=10)
+    g_step, d_step, test_fwd, test_disc, fused = make_train_steps(cfg, steps_per_epoch=10)
     state0 = init_train_state(cfg, seed=0, steps_per_epoch=10)
 
     rng = np.random.default_rng(0)
@@ -101,7 +101,7 @@ def test_step_counter(stepped):
 def test_disc_skip_on_bad_pesq():
     cfg = tiny_cfg(batch_size=8)
     mesh = make_mesh(cfg.mesh)
-    _, d_step, _, _ = make_train_steps(cfg, steps_per_epoch=10)
+    _, d_step, *_ = make_train_steps(cfg, steps_per_epoch=10)
     state = init_train_state(cfg, seed=0, steps_per_epoch=10)
     from cmgan_tpu.parallel import replicate_state
 
@@ -151,3 +151,34 @@ def test_checkpoint_roundtrip(tmp_path, stepped):
     restored = restore_train_state(path, jax.tree.map(np.asarray, state))
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_device_label_step():
+    """One-program G+label+D step with on-device PESQ labels."""
+    import dataclasses as _dc
+
+    cfg = tiny_cfg()
+    cfg = CMGANConfig(
+        model=cfg.model,
+        train=_dc.replace(cfg.train, pesq_label_mode="device"),
+    )
+    mesh = make_mesh(cfg.mesh)
+    *_, fused = make_train_steps(cfg, steps_per_epoch=10)
+    from cmgan_tpu.parallel import replicate_state
+
+    state = replicate_state(mesh, init_train_state(cfg, seed=0, steps_per_epoch=10))
+    before = jax.device_get(state)
+    rng = np.random.default_rng(1)
+    clean = rng.standard_normal((8, 4000)).astype(np.float32) * 0.1
+    noisy = clean + rng.standard_normal((8, 4000)).astype(np.float32) * 0.05
+    clean_d, noisy_d = shard_batch(mesh, clean, noisy)
+    state, metrics, disc_loss = fused(state, clean_d, noisy_d)
+    after = jax.device_get(state)
+    assert np.isfinite(float(metrics["gen_loss"]))
+    assert float(disc_loss) > 0  # labels valid -> D actually updated
+    deltas = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        before.disc_params,
+        after.disc_params,
+    )
+    assert max(jax.tree.leaves(deltas)) > 0
