@@ -21,7 +21,6 @@ Two length-handling modes:
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Tuple
 

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from cmgan_tpu.config import ModelConfig
 from cmgan_tpu.models.layers import (
-    Dense,
     InstanceNorm,
     LearnableSigmoid,
     PReLU,

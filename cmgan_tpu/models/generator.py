@@ -13,7 +13,6 @@ Output: (est_real, est_imag), each [B, T, F].
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from cmgan_tpu.config import ModelConfig

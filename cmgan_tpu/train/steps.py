@@ -23,7 +23,6 @@ the normalization at train.py:75-79 rebinds locals only).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
