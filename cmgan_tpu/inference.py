@@ -57,7 +57,6 @@ def bucket_pad(noisy: np.ndarray, hop: int, cut_len: int, bucket: int) -> np.nda
     """Tile-extend a track so its padded length lands on a bucket boundary."""
     length = noisy.shape[-1]
     target = int(math.ceil(length / bucket)) * bucket
-    target = min(target, max(target, hop))
     reps = int(math.ceil(target / length))
     return np.tile(noisy, reps)[:target]
 
@@ -99,11 +98,10 @@ class Enhancer:
         """
         dsp, ev = self.cfg.dsp, self.cfg.eval
         bucket = dsp.sample_rate
+        tracks = [np.asarray(t, np.float32).reshape(-1) for t in tracks]
         results: list[np.ndarray | None] = [None] * len(tracks)
         groups: dict[int, list[int]] = {}
         for i, t in enumerate(tracks):
-            t = np.asarray(t, np.float32).reshape(-1)
-            tracks[i] = t
             padded = int(math.ceil(t.shape[-1] / bucket)) * bucket
             if padded > ev.cut_len:
                 results[i] = self.enhance(t, mode="bucket")

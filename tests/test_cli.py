@@ -1,0 +1,41 @@
+"""CLI argument-surface tests (no device work)."""
+
+import pytest
+
+from cmgan_tpu.cli.enhance import parse_args as enhance_args
+from cmgan_tpu.cli.evaluate import parse_args as evaluate_args
+from cmgan_tpu.cli.train import parse_args as train_args
+
+
+def test_train_defaults_match_reference():
+    a = train_args(["--data_dir", "/data"])
+    assert a.epochs == 120
+    assert a.batch_size == 4
+    assert a.init_lr == 5e-4
+    assert a.decay_epoch == 30
+    assert a.cut_len == 32000
+    assert a.loss_weights == [0.1, 0.9, 0.2, 0.05]
+
+
+def test_train_loss_weights_parse_correctly():
+    # the reference's argparse type=list would split a string into chars
+    a = train_args(["--data_dir", "/d", "--loss_weights", "0.2", "0.8", "0.1", "0.0"])
+    assert a.loss_weights == [0.2, 0.8, 0.1, 0.0]
+
+
+def test_train_requires_data_dir():
+    with pytest.raises(SystemExit):
+        train_args([])
+
+
+def test_evaluate_args():
+    a = evaluate_args(["--test_dir", "/t", "--json", "--batch", "4"])
+    assert a.test_dir == "/t" and a.json and a.batch == 4
+    assert not a.exact and not a.save_tracks
+
+
+def test_enhance_args():
+    a = enhance_args(["--input", "a.wav", "--output", "b.wav"])
+    assert a.input == "a.wav" and a.output == "b.wav"
+    with pytest.raises(SystemExit):
+        enhance_args(["--input", "a.wav"])
