@@ -37,20 +37,30 @@ def segment_track(noisy: np.ndarray, hop: int, cut_len: int) -> Tuple[np.ndarray
     """Wrap-pad to a hop multiple and fold long tracks into a batch.
 
     noisy: [n] normalized track. Returns (segments [B, L], padded_len).
-    Reference: src/evaluation.py:25-34.
+    Reference: src/evaluation.py:25-34 — with one correction: when the
+    folded segment length is not itself a hop multiple, the reference's
+    iSTFT drops `seg % hop` samples per segment and its output-length
+    assert fails (latent — VCTK-DEMAND test tracks are all shorter than
+    cut_len, so folding never triggers there). Here the wrap padding is
+    extended so segments are hop-aligned; identical to the reference
+    wherever the reference works.
     """
     length = noisy.shape[-1]
     padded_len = int(math.ceil(length / hop)) * hop
-    pad = padded_len - length
-    x = np.concatenate([noisy, noisy[:pad]], axis=-1)
     if padded_len > cut_len:
         batch_size = int(math.ceil(padded_len / cut_len))
         while hop % batch_size != 0:
             batch_size += 1
-        x = x.reshape(batch_size, -1)
+        # hop-align the per-segment length (see docstring)
+        seg_quantum = batch_size * hop
+        padded_len = int(math.ceil(padded_len / seg_quantum)) * seg_quantum
     else:
-        x = x[None, :]
-    return x, padded_len
+        batch_size = 1
+    reps = int(math.ceil(padded_len / length)) if padded_len > length else 1
+    x = np.concatenate([noisy] * reps + [noisy[: max(padded_len - reps * length, 0)]])[
+        :padded_len
+    ]
+    return x.reshape(batch_size, -1), padded_len
 
 
 def bucket_pad(noisy: np.ndarray, hop: int, cut_len: int, bucket: int) -> np.ndarray:
