@@ -31,6 +31,11 @@ def parse_args(argv=None):
                    help="reference-exact chunk shapes (recompiles per length)")
     p.add_argument("--batch", type=int, default=8,
                    help="tracks per device batch (bucketed mode only)")
+    p.add_argument("--chunk_seconds", type=int, default=16,
+                   help="max segment length; 16 matches the reference, "
+                   "2 matches the training context (equal quality, faster)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (quality-neutral: -0.001 PESQ)")
     p.add_argument("--limit", type=int, default=0, help="evaluate first N tracks only")
     p.add_argument("--json", action="store_true", help="emit one JSON line")
     return p.parse_args(argv)
@@ -65,11 +70,25 @@ def main(argv=None):
     from cmgan_tpu.inference import Enhancer
     from cmgan_tpu.metrics import compute_metrics
 
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cmgan_tpu.config import EvalConfig
+
     args = parse_args(argv)
     cfg = CMGANConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        eval=EvalConfig(
+            cut_len=cfg.dsp.sample_rate * args.chunk_seconds,
+            save_tracks=args.save_tracks,
+            save_dir=args.save_dir,
+        ),
+    )
 
     variables = load_variables(cfg, args)
-    enhancer = Enhancer(cfg, variables)
+    enhancer = Enhancer(cfg, variables, dtype=jnp.bfloat16 if args.bf16 else None)
 
     noisy_dir = os.path.join(args.test_dir, "noisy")
     clean_dir = os.path.join(args.test_dir, "clean")
