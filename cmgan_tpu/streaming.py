@@ -38,6 +38,12 @@ class StreamingEnhancer:
         for block in audio_blocks:              # arbitrary block sizes
             out.append(s.push(block))
         out.append(s.flush())
+
+    `num_streams > 1` runs that many independent streams in lockstep as
+    one device batch (server-style batching): push/flush then take and
+    return `[num_streams, n]` blocks. Per-stream state (normalization,
+    crossfade tails) stays independent; one chip serves an order of
+    magnitude more concurrent streams than stepping them one by one.
     """
 
     def __init__(
@@ -50,10 +56,12 @@ class StreamingEnhancer:
         crossfade: int = 400,        # 25 ms seam blending
         dtype=None,
         rms_decay: float = 0.95,
+        num_streams: int = 1,
     ):
         dsp = cfg.dsp
         assert chunk % dsp.hop == 0 and left_context % dsp.hop == 0
         assert lookahead % dsp.hop == 0 and 0 <= crossfade <= chunk
+        assert num_streams >= 1
         self.cfg = cfg
         self.chunk = chunk
         self.left_context = left_context
@@ -61,13 +69,15 @@ class StreamingEnhancer:
         self.crossfade = crossfade
         self.window = left_context + chunk + lookahead
         self.rms_decay = rms_decay
+        self.num_streams = num_streams
 
         self.model = TSCNet(cfg.model, dtype=dtype)
         self.variables = variables
 
         @jax.jit
-        def _enhance_window(variables, window, c):
-            x = window[None, :] * c
+        def _enhance_window(variables, windows, c):
+            # windows: [S, window], c: [S] per-stream level scales
+            x = windows * c[:, None]
             spec = stft(x, dsp.n_fft, dsp.hop)
             packed = power_compress(spec, exponent=dsp.compress_exponent)
             est_real, est_imag = self.model.apply(variables, packed, train=False)
@@ -76,16 +86,17 @@ class StreamingEnhancer:
                 est_imag.astype(jnp.float32),
                 exponent=dsp.compress_exponent,
             )
-            return istft(est, dsp.n_fft, dsp.hop)[0] / c
+            return istft(est, dsp.n_fft, dsp.hop) / c[:, None]
 
         self._enhance_window = _enhance_window
         self.reset()
 
     def reset(self):
-        self._in_buffer = np.zeros(self.window, np.float32)
-        self._pending = np.zeros(0, np.float32)
+        s = self.num_streams
+        self._in_buffer = np.zeros((s, self.window), np.float32)
+        self._pending = np.zeros((s, 0), np.float32)
         self._prev_tail: Optional[np.ndarray] = None
-        self._mean_sq = 0.0
+        self._mean_sq = np.zeros(s)
         self._warm = False
         # the first `lookahead` raw emitted samples precede stream index
         # 0 (zero padding); drop them so output index i == input index i
@@ -97,81 +108,109 @@ class StreamingEnhancer:
         return self.chunk + self.lookahead
 
     def _step(self, new_chunk: np.ndarray) -> np.ndarray:
-        """Consume exactly `chunk` new samples, return `chunk` enhanced
-        samples (delayed by `lookahead`)."""
+        """Consume exactly [S, chunk] new samples, return [S, chunk]
+        enhanced samples (delayed by `lookahead`)."""
         # slide the analysis window
         self._in_buffer = np.concatenate(
-            [self._in_buffer[self.chunk :], new_chunk]
+            [self._in_buffer[:, self.chunk :], new_chunk], axis=1
         )
         # running RMS from observed input (causal analog of the offline
         # whole-track normalization, reference src/evaluation.py:21-23)
-        block_ms = float(np.mean(new_chunk**2))
+        block_ms = np.mean(new_chunk**2, axis=1)
         if not self._warm:
-            self._mean_sq = max(block_ms, 1e-8)
+            self._mean_sq = np.maximum(block_ms, 1e-8)
             self._warm = True
         else:
             self._mean_sq = (
                 self.rms_decay * self._mean_sq + (1 - self.rms_decay) * block_ms
             )
-        c = np.float32(1.0 / np.sqrt(max(self._mean_sq, 1e-8)))
+        c = (1.0 / np.sqrt(np.maximum(self._mean_sq, 1e-8))).astype(np.float32)
 
         est = np.asarray(
-            self._enhance_window(self.variables, jnp.asarray(self._in_buffer), c)
+            self._enhance_window(
+                self.variables, jnp.asarray(self._in_buffer), jnp.asarray(c)
+            )
         )
         # emission region: the chunk that now sits `lookahead` from the end
         start = self.window - self.lookahead - self.chunk
-        out = est[start : start + self.chunk].copy()
+        out = est[:, start : start + self.chunk].copy()
 
         if self.crossfade > 0:
             fade = np.linspace(0.0, 1.0, self.crossfade, dtype=np.float32)
             if self._prev_tail is not None:
-                out[: self.crossfade] = (
-                    fade * out[: self.crossfade]
+                out[:, : self.crossfade] = (
+                    fade * out[:, : self.crossfade]
                     + (1.0 - fade) * self._prev_tail
                 )
             # stash this step's estimate of the NEXT chunk's head
-            nxt = est[start + self.chunk : start + self.chunk + self.crossfade]
-            self._prev_tail = nxt.copy() if nxt.size == self.crossfade else None
+            nxt = est[:, start + self.chunk : start + self.chunk + self.crossfade]
+            self._prev_tail = (
+                nxt.copy() if nxt.shape[1] == self.crossfade else None
+            )
         return out
 
     def _emit(self, raw: np.ndarray) -> np.ndarray:
         if self._skip > 0:
-            cut = min(self._skip, raw.size)
+            cut = min(self._skip, raw.shape[1])
             self._skip -= cut
-            raw = raw[cut:]
+            raw = raw[:, cut:]
         return raw
 
+    def _coerce(self, samples: np.ndarray) -> np.ndarray:
+        x = np.asarray(samples, np.float32)
+        if self.num_streams == 1 and x.ndim == 1:
+            x = x[None, :]
+        assert x.ndim == 2 and x.shape[0] == self.num_streams
+        return x
+
+    def _deliver(self, out: np.ndarray) -> np.ndarray:
+        return out[0] if self.num_streams == 1 else out
+
     def push(self, samples: np.ndarray) -> np.ndarray:
-        """Feed arbitrary-length audio; returns whatever output is ready.
+        """Feed audio ([n] for one stream, [S, n] for S streams);
+        returns whatever output is ready (same leading shape).
 
         Output sample i is the enhanced input sample i (the stream runs
         `latency_samples` behind the input in wall-clock terms).
         """
         self._pending = np.concatenate(
-            [self._pending, np.asarray(samples, np.float32).reshape(-1)]
+            [self._pending, self._coerce(samples)], axis=1
         )
         outs = []
-        while self._pending.size >= self.chunk:
-            outs.append(self._emit(self._step(self._pending[: self.chunk])))
-            self._pending = self._pending[self.chunk :]
-        return np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        while self._pending.shape[1] >= self.chunk:
+            outs.append(self._emit(self._step(self._pending[:, : self.chunk])))
+            self._pending = self._pending[:, self.chunk :]
+        out = (
+            np.concatenate(outs, axis=1)
+            if outs
+            else np.zeros((self.num_streams, 0), np.float32)
+        )
+        return self._deliver(out)
 
     def flush(self) -> np.ndarray:
         """Emit the remainder (pads the stream tail with zeros)."""
-        remainder = self._pending.size
+        remainder = self._pending.shape[1]
         outs = []
         if remainder:
-            pad = np.zeros(self.chunk - remainder, np.float32)
-            outs.append(self._emit(self._step(np.concatenate([self._pending, pad]))))
+            pad = np.zeros((self.num_streams, self.chunk - remainder), np.float32)
+            outs.append(
+                self._emit(self._step(np.concatenate([self._pending, pad], axis=1)))
+            )
         # push zeros to recover the lookahead-delayed tail
         tail_steps = -(-self.lookahead // self.chunk) + 1
         for _ in range(tail_steps):
-            outs.append(self._emit(self._step(np.zeros(self.chunk, np.float32))))
-        self._pending = np.zeros(0, np.float32)
-        out = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+            outs.append(
+                self._emit(self._step(np.zeros((self.num_streams, self.chunk), np.float32)))
+            )
+        self._pending = np.zeros((self.num_streams, 0), np.float32)
+        out = (
+            np.concatenate(outs, axis=1)
+            if outs
+            else np.zeros((self.num_streams, 0), np.float32)
+        )
         # aligned samples still owed: the remainder plus the lookahead-
         # delayed tail of the already-pushed chunks
-        return out[: remainder + self.lookahead]
+        return self._deliver(out[:, : remainder + self.lookahead])
 
     def enhance_stream(
         self, blocks: Iterator[np.ndarray]

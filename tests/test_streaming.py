@@ -77,3 +77,20 @@ def test_reset(tiny, rng):
     s.reset()
     y2 = np.concatenate([s.push(x), s.flush()])
     np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+def test_multi_stream_lockstep_matches_single(tiny, rng):
+    cfg, variables = tiny
+    xs = rng.standard_normal((3, 9000)).astype(np.float32) * 0.1
+
+    multi = StreamingEnhancer(
+        cfg, variables, chunk=2000, left_context=6000, lookahead=1000,
+        crossfade=200, num_streams=3,
+    )
+    y_multi = np.concatenate([multi.push(xs), multi.flush()], axis=1)
+    assert y_multi.shape == (3, 9000)
+
+    for i in range(3):
+        single = _make_enhancer(cfg, variables)
+        y_single = np.concatenate([single.push(xs[i]), single.flush()])
+        np.testing.assert_allclose(y_multi[i], y_single, atol=1e-5)
