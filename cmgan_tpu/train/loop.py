@@ -120,8 +120,17 @@ class Trainer:
         """Per-epoch eval pass; returns mean generator loss."""
         if self.test_loader is None:
             return float("nan")
+        n_dev = self.mesh.devices.size
         gen_total, disc_total, n = 0.0, 0.0, 0
         for clean, noisy in self.test_loader:
+            if clean.shape[0] % n_dev:
+                # wrap-pad the final partial batch to a shardable size
+                # (the reference instead crashes into its one_labels
+                # size bug on partial batches, src/train.py:181,212)
+                reps = -(-n_dev // clean.shape[0]) + 1
+                pad = n_dev - clean.shape[0] % n_dev
+                clean = np.concatenate([clean, np.tile(clean, (reps, 1))[:pad]])
+                noisy = np.concatenate([noisy, np.tile(noisy, (reps, 1))[:pad]])
             clean_d, noisy_d = shard_batch(self.mesh, clean, noisy)
             metrics, handoff = self.test_fwd(self.state, clean_d, noisy_d)
             scores = pesq_labels_host(clean, np.asarray(handoff["est_audio"]))

@@ -182,3 +182,28 @@ def test_fused_device_label_step():
         after.disc_params,
     )
     assert max(jax.tree.leaves(deltas)) > 0
+
+
+def test_trainer_test_pass_with_partial_batch(tmp_path):
+    """test() must handle a final batch not divisible by the mesh size."""
+    import os
+
+    from cmgan_tpu.data import write_wav
+    from cmgan_tpu.data.dataset import BatchLoader, DemandDataset
+    from cmgan_tpu.train import Trainer
+
+    root = tmp_path / "d"
+    for sub in ("clean", "noisy"):
+        os.makedirs(root / sub)
+    r = np.random.default_rng(0)
+    for i in range(5):  # 5 tracks, batch 4, 8 devices -> partial batch
+        x = (r.standard_normal(4000) * 0.1).astype(np.float32)
+        write_wav(str(root / "clean" / f"p{i}_1.wav"), x, 16000)
+        write_wav(str(root / "noisy" / f"p{i}_1.wav"), x + 0.01, 16000)
+
+    cfg = tiny_cfg(batch_size=8, cut_len=4000)
+    ds = DemandDataset(str(root), cut_len=4000)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=False, prefetch=0)
+    trainer = Trainer(cfg, loader, test_loader=loader)
+    loss = trainer.test()
+    assert np.isfinite(loss)
