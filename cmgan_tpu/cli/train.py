@@ -36,6 +36,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="checkpoint path to resume from")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (fp32 params)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize conformer blocks (bigger batches)")
     return p.parse_args(argv)
 
 
@@ -46,8 +48,11 @@ def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    from cmgan_tpu.config import ModelConfig
+
     n_devices = len(jax.devices())
     cfg = CMGANConfig(
+        model=ModelConfig(remat=args.remat),
         train=dataclasses.replace(
             TrainConfig(),
             epochs=args.epochs,

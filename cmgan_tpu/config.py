@@ -59,6 +59,10 @@ class ModelConfig:
     # 'xla': dense logits; 'flash': Pallas fused kernel; 'auto': flash
     # for sequences >= 512 frames (where dense logits blow HBM).
     attention_impl: str = "auto"
+    # rematerialize TSCB blocks in the backward pass (trades ~30% extra
+    # forward FLOPs for O(num_blocks) less activation memory; enables
+    # large-batch training)
+    remat: bool = False
     # Discriminator
     ndf: int = 16
     disc_dropout: float = 0.3

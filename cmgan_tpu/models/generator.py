@@ -124,7 +124,7 @@ class TSCB(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         b, t, f, c = x.shape
         # time attention: sequences along T, one per (batch, freq) row
         xt = x.transpose(0, 2, 1, 3).reshape(b * f, t, c)
@@ -202,8 +202,15 @@ class TSCNet(nn.Module):
         x = DenseEncoder(
             self.cfg.num_channels, self.cfg.dense_depth, dtype=self.dtype, name="encoder"
         )(x)
+        # optional rematerialization: recompute each TSCB forward during
+        # the backward pass instead of keeping its activations live
+        block_cls = (
+            nn.remat(TSCB, static_argnums=(2,)) if self.cfg.remat else TSCB
+        )
         for i in range(self.cfg.num_tscb_blocks):
-            x = TSCB(self.cfg, dtype=self.dtype, name=f"tscb_{i + 1}")(x, train=train)
+            x = block_cls(self.cfg, dtype=self.dtype, name=f"tscb_{i + 1}")(
+                x, train
+            )
 
         mask = MaskDecoder(
             self.cfg.num_features,
