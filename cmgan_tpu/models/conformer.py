@@ -52,10 +52,11 @@ class RelPosAttention(nn.Module):
     added to the content logits. Reference: src/models/conformer.py:75-133.
 
     attention_impl: 'xla' materializes dense logits; 'flash' uses the
-    fused Pallas kernel (cmgan_tpu/ops/flash_attention.py); 'auto'
-    switches to flash at >=512 frames, where dense [*, T, T] logits
-    dominate HBM. Flash is inference-only (no attention dropout); train
-    mode always takes the XLA path.
+    fused Pallas kernel (cmgan_tpu/ops/flash_attention.py, fwd + bwd);
+    'auto' switches to flash at >=512 frames, where dense [*, T, T]
+    logits dominate HBM. The kernel has no attention-weight dropout, so
+    train mode uses it only when attn dropout is 0 (e.g. long-form
+    configs); otherwise training takes the XLA path.
     """
 
     dim: int
@@ -86,7 +87,7 @@ class RelPosAttention(nn.Module):
             (2 * self.max_pos_emb + 1, d),
         )
 
-        use_flash = not train and (
+        use_flash = (not train or self.dropout == 0.0) and (
             self.attention_impl == "flash"
             or (self.attention_impl == "auto" and n >= 512)
         )

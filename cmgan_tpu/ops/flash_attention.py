@@ -197,6 +197,191 @@ def _flash_forward(
     return out[:G, :T, :]
 
 
+def _unshear_rows(x, block_q: int):
+    """Inverse of `_shear_rows`: out[a, c] = x[a, (c + a) mod width]."""
+    width = x.shape[1]
+    a_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < block_q:
+        rolled = pltpu.roll(x, shift=width - shift, axis=1)
+        x = jnp.where((a_ids & shift) != 0, rolled, x)
+        shift *= 2
+    return x
+
+
+def _flash_bwd_kernel(
+    q_ref, k_ref, v_ref, revband_ref, g_ref,
+    dq_ref, dk_ref, dv_ref, dband_ref,
+    u_scratch, ds_scratch,
+    *, block_q: int, block_g: int, t_pad: int, t_valid: int,
+):
+    qb = pl.program_id(1)
+    i0 = qb * block_q
+    start = pl.multiple_of(t_pad - i0 - block_q, block_q)
+    n_qb = pl.num_programs(1)
+    first_step = qb == 0
+
+    @pl.when(first_step)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when(first_step & (pl.program_id(0) == 0))
+    def _():
+        dband_ref[...] = jnp.zeros_like(dband_ref)
+
+    def body(g, _):
+        q = q_ref[g]        # [block_q, D]
+        k = k_ref[g]        # [D, t_pad]
+        v = v_ref[g]        # [D, t_pad]
+        gout = g_ref[g]     # [block_q, D]
+
+        # --- recompute attn (same as forward) ---
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        u_scratch[:] = jax.lax.dot_general(
+            q, revband_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w = u_scratch[:, pl.ds(start, t_pad + block_q)]
+        v3 = _shear_rows(w, block_q)
+        pos = jax.lax.slice(v3, (0, block_q - 1), (block_q, block_q - 1 + t_pad))
+        logits = logits + pos
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(j_ids < t_valid, logits, -jnp.inf)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        attn = p / jnp.sum(p, axis=1, keepdims=True)  # [block_q, t_pad]
+
+        # --- gradients ---
+        # dv^T[d, j] += sum_a attn[a, j] g[a, d]
+        dv_ref[g] += jax.lax.dot_general(
+            gout, attn, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+
+        # dp[a, j] = g[a] . v[:, j]; ds = attn * (dp - rowsum(attn*dp))
+        dp = jax.lax.dot_general(
+            gout, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jnp.where(j_ids < t_valid, dp, 0.0)
+        ds = attn * (dp - jnp.sum(attn * dp, axis=1, keepdims=True))
+        ds = jnp.where(j_ids < t_valid, ds, 0.0)  # [block_q, t_pad]
+
+        # dq from content term: ds @ k^T
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        # dk^T[d, j] += sum_a ds[a, j] q[a, d]
+        dk_ref[g] += jax.lax.dot_general(
+            q, ds, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+
+        # --- rel-pos gradients via the inverse shear ---
+        # forward: pos[a, j] = W[a, j + block_q - 1 - a],
+        #          W[a, c] = U[a, c + start], U = q @ revband
+        # => dW[a, c] = ds[a, c + a - (block_q - 1)]: pad ds left by
+        # block_q-1 (extra right margin so no wrap) and un-shear.
+        ds_scratch[...] = jnp.pad(
+            ds, ((0, 0), (block_q - 1, block_q + 1))
+        )  # [block_q, t_pad + 2*block_q]
+        dw = _unshear_rows(ds_scratch[...], block_q)
+        dw = jax.lax.slice(dw, (0, 0), (block_q, t_pad + block_q))
+
+        # dq from pos term: dq[a, d] += sum_c dW[a, c] revband[d, c+start]
+        band_slice = revband_ref[:, pl.ds(start, t_pad + block_q)]  # [D, w]
+        dq = dq + jax.lax.dot_general(
+            dw, band_slice, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[g] = dq.astype(dq_ref.dtype)
+
+        # dband[d, c+start] += sum_a q[a, d] dW[a, c]
+        dband_ref[:, pl.ds(start, t_pad + block_q)] += jax.lax.dot_general(
+            q, dw, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dband_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, block_g, body, 0)
+
+
+def _flash_backward(q, k, v, rel_table, max_pos: int, g,
+                    block_q: int = 128, block_g: int | None = None):
+    G, T, D = q.shape
+    t_pad = _round_up(T, block_q)
+
+    if block_g is None:
+        budget = 9 * 1024 * 1024
+        per_group = 4 * (2 * D * t_pad * 4) + 4 * 2 * block_q * _LANES * 4
+        fixed = (
+            block_q * 2 * t_pad * 4
+            + block_q * (t_pad + 2 * block_q) * 4
+            + (D * 2 * t_pad * 4) * 2
+            + 10 * block_q * t_pad * 4
+        )
+        block_g = int(max(1, min(8, (budget - fixed) // per_group)))
+
+    s = (t_pad - 1) - np.arange(2 * t_pad)
+    idx = np.clip(s, -max_pos, max_pos) + max_pos
+    revband = jnp.transpose(rel_table[idx])  # [D, 2*t_pad]
+
+    g_pad = _round_up(G, block_g)
+    pad3 = [(0, g_pad - G), (0, t_pad - T), (0, 0)]
+    qp = jnp.pad(q, pad3)
+    gp = jnp.pad(g, pad3)
+    kp = jnp.pad(jnp.transpose(k, (0, 2, 1)), [(0, g_pad - G), (0, 0), (0, t_pad - T)])
+    vp = jnp.pad(jnp.transpose(v, (0, 2, 1)), [(0, g_pad - G), (0, 0), (0, t_pad - T)])
+
+    grid = (g_pad // block_g, t_pad // block_q)
+    interpret = jax.default_backend() != "tpu"
+    group_spec = pl.BlockSpec(
+        (block_g, block_q, D), lambda gi, qb: (gi, qb, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (block_g, D, t_pad), lambda gi, qb: (gi, 0, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk_t, dv_t, dband = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_kernel,
+            block_q=block_q, block_g=block_g, t_pad=t_pad, t_valid=T,
+        ),
+        grid=grid,
+        in_specs=[group_spec, kv_spec, kv_spec,
+                  pl.BlockSpec((D, 2 * t_pad), lambda gi, qb: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  group_spec],
+        out_specs=(
+            group_spec,  # dq
+            kv_spec,     # dk (transposed layout)
+            kv_spec,     # dv
+            pl.BlockSpec((D, 2 * t_pad), lambda gi, qb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((g_pad, t_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((g_pad, D, t_pad), q.dtype),
+            jax.ShapeDtypeStruct((g_pad, D, t_pad), q.dtype),
+            jax.ShapeDtypeStruct((D, 2 * t_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 2 * t_pad), jnp.float32),
+            pltpu.VMEM((block_q, t_pad + 2 * block_q), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, revband, gp)
+
+    dq = dq[:G, :T]
+    dk = jnp.transpose(dk_t, (0, 2, 1))[:G, :T]
+    dv = jnp.transpose(dv_t, (0, 2, 1))[:G, :T]
+    # scatter band gradient back onto the embedding table rows
+    # (dband is [D, 2*t_pad] in REVERSED band coordinates)
+    dband = jnp.transpose(dband)  # [2*t_pad, D]
+    dtable = jax.ops.segment_sum(dband, idx, num_segments=rel_table.shape[0])
+    return dq, dk, dv, dtable.astype(rel_table.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_rel_attention(q, k, v, rel_table, max_pos: int):
     """Fused attention with Shaw relative positions.
@@ -204,6 +389,7 @@ def flash_rel_attention(q, k, v, rel_table, max_pos: int):
     q, k, v: [G, T, D] (G = batch*heads groups); rel_table:
     [2*max_pos+1, D] embedding table. Equivalent to
     `reference_attention(q, k, v, make_rel_band(rel_table, T, max_pos), T)`.
+    Forward and backward both run as Pallas kernels (O(T) memory).
     """
     return _flash_forward(q, k, v, rel_table, max_pos)
 
@@ -214,20 +400,7 @@ def _fwd(q, k, v, rel_table, max_pos):
 
 def _bwd(max_pos, res, g):
     q, k, v, rel_table = res
-    T = q.shape[1]
-
-    def ref(q, k, v, table):
-        band = make_rel_band_traced(table, T, max_pos)
-        return reference_attention(q, k, v, band, T)
-
-    _, vjp = jax.vjp(ref, q, k, v, rel_table)
-    return vjp(g)
-
-
-def make_rel_band_traced(rel_table, t: int, max_pos: int):
-    s = np.arange(2 * t - 1) - (t - 1)
-    idx = np.clip(s, -max_pos, max_pos) + max_pos
-    return rel_table[idx]
+    return _flash_backward(q, k, v, rel_table, max_pos, g)
 
 
 flash_rel_attention.defvjp(_fwd, _bwd)

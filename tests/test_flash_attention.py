@@ -66,3 +66,29 @@ def test_gradients_flow_through_fallback(rng):
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("t,max_pos", [(200, MAX_POS), (300, 96)])
+def test_gradients_multiblock_and_clipping(rng, t, max_pos):
+    """Backward kernel over multiple q-blocks and with active clipping."""
+    g_, d = 3, 16
+    q = _rand(rng, g_, t, d) * 0.5
+    k = _rand(rng, g_, t, d) * 0.5
+    v = _rand(rng, g_, t, d)
+    table = _rand(rng, 2 * max_pos + 1, d)
+
+    def loss_flash(q, k, v, table):
+        return jnp.sum(jnp.sin(flash_rel_attention(q, k, v, table, max_pos)))
+
+    def loss_ref(q, k, v, table):
+        s = np.arange(2 * t - 1) - (t - 1)
+        idx = np.clip(s, -max_pos, max_pos) + max_pos
+        return jnp.sum(jnp.sin(reference_attention(q, k, v, table[idx], t)))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for name, a, b in zip("qkvE", g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad wrt {name}",
+        )
