@@ -218,7 +218,6 @@ def _flash_bwd_kernel(
     qb = pl.program_id(1)
     i0 = qb * block_q
     start = pl.multiple_of(t_pad - i0 - block_q, block_q)
-    n_qb = pl.num_programs(1)
     first_step = qb == 0
 
     @pl.when(first_step)
