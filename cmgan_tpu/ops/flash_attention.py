@@ -21,9 +21,13 @@ K/V for a group stay in VMEM across consecutive q-blocks (the Pallas
 pipeline skips re-fetch when the block index is unchanged), so HBM
 traffic is O(T*D) per group instead of O(T^2).
 
-Backward falls back to the XLA reference implementation via custom_vjp
-(training contexts are 2 s where XLA attention fits; a fused bwd kernel
-can land later without API change).
+The backward pass is a second Pallas kernel (`_flash_bwd_kernel`):
+attn is recomputed in VMEM per (group, q-block); dk/dv accumulate
+across q-block revisits of transposed [D, T] output blocks; the
+rel-pos gradients reuse the shear machinery in reverse (un-shear of
+the padded dS), with the band gradient accumulated into one [D, 2T]
+block and segment-summed back onto the embedding table. O(T) memory in
+both directions — 30 s contexts train where dense attention OOMs.
 """
 
 from __future__ import annotations
