@@ -211,3 +211,42 @@ def load_torch_generator(path: str, variables, num_tscb: int = 4):
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
     return import_generator_state_dict(sd, variables, num_tscb)
+
+
+_INVERSE = {
+    _conv2d: lambda w: np.transpose(w, (3, 2, 0, 1)),
+    _conv1d: lambda w: np.transpose(w, (2, 1, 0)),
+    _linear: lambda w: np.transpose(w, (1, 0)),
+    _ident: lambda w: w,
+}
+
+
+def export_generator_state_dict(variables, num_tscb: int = 4):
+    """Inverse of import: flax variables -> reference torch state_dict
+    layout (numpy arrays), so models trained here can be evaluated with
+    the reference code."""
+    import flax
+
+    params = flax.traverse_util.flatten_dict(variables["params"], sep="/")
+    stats = flax.traverse_util.flatten_dict(variables["batch_stats"], sep="/")
+
+    out = {}
+    for tkey, (fkey, tf) in generator_param_map(num_tscb).items():
+        out[tkey] = _INVERSE[tf](np.asarray(params[fkey]))
+    for tkey, (fkey, tf) in generator_stats_map(num_tscb).items():
+        out[tkey] = _INVERSE[tf](np.asarray(stats[fkey]))
+        # torch BatchNorm also tracks num_batches_tracked
+        nbt = tkey.rsplit(".", 1)[0] + ".num_batches_tracked"
+        out.setdefault(nbt, np.asarray(0, np.int64))
+    return out
+
+
+def save_torch_generator(path: str, variables, num_tscb: int = 4):
+    """Write a reference-compatible torch checkpoint file."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_generator_state_dict(variables, num_tscb).items()
+    }
+    torch.save(sd, path)

@@ -81,3 +81,66 @@ def test_import_rejects_mismatched_dict(torch_ref):
     )
     with pytest.raises(ValueError):
         import_generator_state_dict({"bogus": np.zeros(3)}, variables)
+
+
+def test_export_import_roundtrip():
+    """export -> import must reproduce the exact parameter tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmgan_tpu.checkpoint.torch_import import (
+        export_generator_state_dict,
+        import_generator_state_dict,
+    )
+    from cmgan_tpu.config import ModelConfig
+    from cmgan_tpu.models import TSCNet
+
+    model = TSCNet(ModelConfig())
+    variables = model.init({"params": jax.random.key(3)}, jnp.zeros((1, 11, 201, 2)))
+    import flax
+
+    sd = export_generator_state_dict(variables)
+    sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    restored = import_generator_state_dict(sd, variables)
+    a_flat = flax.traverse_util.flatten_dict(variables, sep="/")
+    b_flat = flax.traverse_util.flatten_dict(restored, sep="/")
+    assert set(a_flat) == set(b_flat)
+    for key in a_flat:
+        np.testing.assert_array_equal(
+            np.asarray(a_flat[key]), np.asarray(b_flat[key]), err_msg=key
+        )
+
+
+def test_export_matches_torch_reference_evaluation(torch_ref):
+    """A model exported from here must produce identical outputs when run
+    through the reference torch code."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cmgan_tpu.checkpoint.torch_import import export_generator_state_dict
+    from cmgan_tpu.config import ModelConfig
+    from cmgan_tpu.models import TSCNet
+
+    model = TSCNet(ModelConfig())
+    variables = model.init({"params": jax.random.key(4)}, jnp.zeros((1, 11, 201, 2)))
+
+    tmodel = torch_ref(num_channel=64, num_features=201)
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_generator_state_dict(variables).items()
+    }
+    tmodel.load_state_dict(sd)
+    tmodel.eval()
+
+    T, F = 31, 201
+    packed = np.random.default_rng(5).standard_normal((1, T, F, 2)).astype(np.float32) * 0.3
+    real_j, imag_j = model.apply(variables, jnp.asarray(packed), train=False)
+    with torch.no_grad():
+        real_t, imag_t = tmodel(torch.from_numpy(packed.transpose(0, 3, 1, 2).copy()))
+    np.testing.assert_allclose(
+        np.asarray(real_j), real_t.numpy()[:, 0], atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(imag_j), imag_t.numpy()[:, 0], atol=2e-4, rtol=1e-3
+    )
