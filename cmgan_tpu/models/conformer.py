@@ -95,11 +95,14 @@ class RelPosAttention(nn.Module):
             from cmgan_tpu.ops.flash_attention import flash_rel_attention
 
             compute = jnp.float32 if self.dtype is None else self.dtype
+            # The kernel computes q.k + q.rel with no internal scale, so
+            # the pre-scaled q carries the single softmax scale for BOTH
+            # terms — the table must be passed unscaled.
             out = flash_rel_attention(
                 (q * scale).astype(compute).reshape(b * h, n, d),
                 k.astype(compute).reshape(b * h, n, d),
                 v.astype(compute).reshape(b * h, n, d),
-                (jnp.asarray(rel_table) * scale).astype(compute),
+                jnp.asarray(rel_table).astype(compute),
                 self.max_pos_emb,
             ).reshape(b, h, n, d)
         else:

@@ -92,3 +92,28 @@ def test_gradients_multiblock_and_clipping(rng, t, max_pos):
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
             err_msg=f"grad wrt {name}",
         )
+
+
+def test_relpos_attention_module_flash_matches_xla(rng):
+    """RelPosAttention(attention_impl='flash') == 'xla' at the module level.
+
+    Guards the softmax-scale contract between the module and the kernel:
+    the module pre-scales q once, so the rel table must be passed
+    UNSCALED (a double-applied scale shrinks pos logits by scale^2 and
+    silently skews every >=512-frame eval and all long-form configs).
+    n >= 512 so the 'auto' policy would also take this path.
+    """
+    from cmgan_tpu.models.conformer import RelPosAttention
+
+    b, n, dim = 2, 544, 64
+    x = _rand(rng, b, n, dim) * 0.5
+
+    flash = RelPosAttention(dim, attention_impl="flash")
+    xla = RelPosAttention(dim, attention_impl="xla")
+    variables = flash.init({"params": jax.random.key(0)}, x)
+
+    out_flash = flash.apply(variables, x, train=False)
+    out_xla = xla.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=5e-5, rtol=1e-4
+    )
