@@ -83,8 +83,12 @@ def main(argv=None):
     )
     if args.resume:
         from cmgan_tpu.checkpoint import restore_train_state
+        from cmgan_tpu.parallel import replicate_state
 
-        trainer.state = restore_train_state(args.resume, jax.device_get(trainer.state))
+        trainer.state = replicate_state(
+            trainer.mesh,
+            restore_train_state(args.resume, jax.device_get(trainer.state)),
+        )
     trainer.train()
 
 

@@ -102,9 +102,11 @@ class BatchLoader:
         if self.shuffle:
             order = np.random.default_rng(self.seed + self.epoch).permutation(n)
         if self.num_processes > 1:
-            # pad to a multiple so every process sees the same batch count
+            # tile-pad to a multiple so every process sees the same batch
+            # count (a single wrap slice can fall short when
+            # n < num_processes, desyncing collectives across hosts)
             per = -(-n // self.num_processes)
-            padded = np.concatenate([order, order[: per * self.num_processes - n]])
+            padded = np.resize(order, per * self.num_processes)
             order = padded[self.process_index :: self.num_processes]
         return order
 

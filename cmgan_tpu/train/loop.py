@@ -65,18 +65,21 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_step(self, clean: np.ndarray, noisy: np.ndarray):
-        """One GAN step; returns (gen_loss, disc_loss).
+        """One GAN step; returns (gen_loss, disc_loss) as DEVICE scalars
+        (not fetched — callers decide when to sync).
 
         pesq_label_mode='host': two device programs bridged by the
         native CPU scorer (reference-faithful). 'device': one fused
-        program with on-TPU labels — no host synchronization.
+        program with on-TPU labels — no host synchronization at all;
+        steps are dispatched asynchronously and the loop only blocks
+        when it fetches metrics at log_interval boundaries.
         """
         clean_d, noisy_d = shard_batch(self.mesh, clean, noisy)
         if self.cfg.train.pesq_label_mode == "device":
             self.state, metrics, disc_loss = self.fused_step(
                 self.state, clean_d, noisy_d
             )
-            return float(metrics["gen_loss"]), float(disc_loss)
+            return metrics["gen_loss"], disc_loss
         self.state, metrics, handoff = self.g_step(self.state, clean_d, noisy_d)
         est_audio = np.asarray(handoff["est_audio"])
         scores = pesq_labels_host(clean, est_audio)
@@ -86,63 +89,90 @@ class Trainer:
             handoff["est_mag"],
             shard_batch(self.mesh, scores),
         )
-        return float(metrics["gen_loss"]), float(disc_loss)
+        return metrics["gen_loss"], disc_loss
 
     def train_epoch(self, epoch: int):
-        from cmgan_tpu.utils import StepTimer
+        import time
 
         interval = self.cfg.train.log_interval
-        timer = StepTimer()
+        pending = []  # (step_in_epoch, batch_rows, gen_dev, disc_dev)
+        flush_t0 = time.perf_counter()
+        global_step0 = None
+
+        def flush(step):
+            # One blocking fetch for the whole window — the only host
+            # sync per log_interval steps in device-label mode.
+            nonlocal flush_t0
+            if not pending:
+                return
+            fetched = jax.device_get([(g, d) for _, _, g, d in pending])
+            elapsed = time.perf_counter() - flush_t0
+            flush_t0 = time.perf_counter()
+            utt = sum(rows for _, rows, _, _ in pending)
+            rate = utt / elapsed if elapsed > 0 else 0.0
+            if self.metrics_logger is not None:
+                for (s, rows, _, _), (g, d) in zip(pending, fetched):
+                    self.metrics_logger.log(
+                        global_step0 + s,
+                        epoch=epoch,
+                        gen_loss=float(g),
+                        disc_loss=float(d),
+                        step_seconds=elapsed / len(pending),
+                    )
+            gen_loss, disc_loss = fetched[-1]
+            log.info(
+                "epoch %d step %d loss %.5f disc_loss %.5f (%.1f utt/s)",
+                epoch,
+                step,
+                float(gen_loss),
+                float(disc_loss),
+                rate,
+            )
+            pending.clear()
+
+        step = 0
         for idx, (clean, noisy) in enumerate(self.train_loader):
             step = idx + 1
-            gen_loss, disc_loss = self.train_step(clean, noisy)
-            timer.tick()
-            if self.metrics_logger is not None:
-                self.metrics_logger.log(
-                    int(jax.device_get(self.state.step)),
-                    epoch=epoch,
-                    gen_loss=gen_loss,
-                    disc_loss=disc_loss,
-                    step_seconds=timer.mean_step_seconds,
-                )
+            if global_step0 is None:
+                global_step0 = int(jax.device_get(self.state.step))
+            gen_dev, disc_dev = self.train_step(clean, noisy)
+            pending.append((step, clean.shape[0], gen_dev, disc_dev))
             if step % interval == 0:
-                rate = timer.steps_per_second() * clean.shape[0]
-                log.info(
-                    "epoch %d step %d loss %.5f disc_loss %.5f (%.1f utt/s)",
-                    epoch,
-                    step,
-                    gen_loss,
-                    disc_loss,
-                    rate,
-                )
+                flush(step)
+        flush(step)
 
     def test(self) -> float:
-        """Per-epoch eval pass; returns mean generator loss."""
+        """Per-epoch eval pass; returns mean generator loss.
+
+        Partial final batches are wrap-padded to a shardable size (the
+        reference instead crashes into its one_labels size bug,
+        src/train.py:181,212) and the averages are weighted by REAL rows
+        only — padded duplicate rows never contaminate the reported loss.
+        """
         if self.test_loader is None:
             return float("nan")
         n_dev = self.mesh.devices.size
         gen_total, disc_total, n = 0.0, 0.0, 0
         for clean, noisy in self.test_loader:
-            if clean.shape[0] % n_dev:
-                # wrap-pad the final partial batch to a shardable size
-                # (the reference instead crashes into its one_labels
-                # size bug on partial batches, src/train.py:181,212)
-                reps = -(-n_dev // clean.shape[0]) + 1
-                pad = n_dev - clean.shape[0] % n_dev
+            real = clean.shape[0]
+            if real % n_dev:
+                reps = -(-n_dev // real) + 1
+                pad = n_dev - real % n_dev
                 clean = np.concatenate([clean, np.tile(clean, (reps, 1))[:pad]])
                 noisy = np.concatenate([noisy, np.tile(noisy, (reps, 1))[:pad]])
             clean_d, noisy_d = shard_batch(self.mesh, clean, noisy)
             metrics, handoff = self.test_fwd(self.state, clean_d, noisy_d)
             scores = pesq_labels_host(clean, np.asarray(handoff["est_audio"]))
-            disc_loss = self.test_disc_loss(
+            disc_per_ex = self.test_disc_loss(
                 self.state,
                 handoff["clean_mag"],
                 handoff["est_mag"],
                 shard_batch(self.mesh, scores),
             )
-            gen_total += float(metrics["gen_loss"])
-            disc_total += float(disc_loss)
-            n += 1
+            gen_per_ex = np.asarray(metrics["gen_loss_per_ex"])
+            gen_total += float(np.sum(gen_per_ex[:real]))
+            disc_total += float(np.sum(np.asarray(disc_per_ex)[:real]))
+            n += real
         gen_avg = gen_total / max(n, 1)
         log.info(
             "test: gen loss %.5f disc loss %.5f", gen_avg, disc_total / max(n, 1)

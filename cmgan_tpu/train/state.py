@@ -42,7 +42,18 @@ def make_lr_schedule(cfg: CMGANConfig, steps_per_epoch: int, base_lr: float):
 
 
 def make_optimizers(cfg: CMGANConfig, steps_per_epoch: int):
-    """AdamW pair with torch-default hyperparameters (wd=0.01)."""
+    """AdamW pair with torch-default hyperparameters (wd=0.01).
+
+    The generator's schedule can ride optax's internal update count (it
+    advances every step, so count == global step). The discriminator's
+    update is SKIPPED on PESQ-invalid batches (lax.cond in steps.py), so
+    its optax count falls behind the global step and an internal schedule
+    would decay late vs the reference's epoch-keyed StepLR
+    (src/train.py:248-253). It therefore runs at unit LR and the d-step
+    scales its updates by ``make_disc_lr_schedule(...)`` on the shared
+    global step. optax.adamw applies weight decay before the LR scale, so
+    the external scale is exactly equivalent.
+    """
     gen_tx = optax.adamw(
         make_lr_schedule(cfg, steps_per_epoch, cfg.train.init_lr),
         b1=0.9,
@@ -51,15 +62,20 @@ def make_optimizers(cfg: CMGANConfig, steps_per_epoch: int):
         weight_decay=0.01,
     )
     disc_tx = optax.adamw(
-        make_lr_schedule(
-            cfg, steps_per_epoch, cfg.train.disc_lr_mult * cfg.train.init_lr
-        ),
+        1.0,
         b1=0.9,
         b2=0.999,
         eps=1e-8,
         weight_decay=0.01,
     )
     return gen_tx, disc_tx
+
+
+def make_disc_lr_schedule(cfg: CMGANConfig, steps_per_epoch: int):
+    """Discriminator StepLR on the shared global step (see make_optimizers)."""
+    return make_lr_schedule(
+        cfg, steps_per_epoch, cfg.train.disc_lr_mult * cfg.train.init_lr
+    )
 
 
 def init_train_state(

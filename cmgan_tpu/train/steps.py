@@ -32,7 +32,11 @@ import optax
 from cmgan_tpu.config import CMGANConfig
 from cmgan_tpu.dsp import istft, power_compress, power_uncompress, stft
 from cmgan_tpu.models import MetricDiscriminator, TSCNet
-from cmgan_tpu.train.state import TrainState, make_optimizers
+from cmgan_tpu.train.state import (
+    TrainState,
+    make_disc_lr_schedule,
+    make_optimizers,
+)
 
 
 def pesq_labels_host(clean: np.ndarray, est: np.ndarray) -> np.ndarray:
@@ -109,7 +113,12 @@ def _generator_loss(
     """Reference: src/train.py:124-151. In train mode the discriminator
     runs with dropout active and its SN power iteration advancing, as in
     the reference (D is in .train() mode during the G step); the updated
-    u/v vectors are returned so the caller can keep them."""
+    u/v vectors are returned so the caller can keep them.
+
+    Losses are reduced per example first (mean over non-batch axes) so
+    eval can weight partial batches by real rows; the batch means equal
+    the reference's whole-batch means exactly (equal-sized rows).
+    """
     w_ri, w_mag, w_time, w_gan = weights
     if train:
         score, disc_updates = disc.apply(
@@ -124,20 +133,24 @@ def _generator_loss(
     else:
         score = disc.apply(disc_vars, out["clean_mag"], out["est_mag"], train=False)
         new_disc_stats = disc_vars["batch_stats"]
-    gan_loss = jnp.mean((score.reshape(-1) - 1.0) ** 2)
-    loss_mag = jnp.mean((out["est_mag"] - out["clean_mag"]) ** 2)
-    loss_ri = jnp.mean((out["est_real"] - out["clean_real"]) ** 2) + jnp.mean(
+
+    def per_ex(x):
+        return jnp.mean(x.reshape(x.shape[0], -1), axis=-1)
+
+    gan_loss = (score.reshape(-1) - 1.0) ** 2
+    loss_mag = per_ex((out["est_mag"] - out["clean_mag"]) ** 2)
+    loss_ri = per_ex((out["est_real"] - out["clean_real"]) ** 2) + per_ex(
         (out["est_imag"] - out["clean_imag"]) ** 2
     )
-    time_loss = jnp.mean(jnp.abs(out["est_audio"] - clean))
+    time_loss = per_ex(jnp.abs(out["est_audio"] - clean))
     total = w_ri * loss_ri + w_mag * loss_mag + w_time * time_loss + w_gan * gan_loss
     parts = {
-        "loss_ri": loss_ri,
-        "loss_mag": loss_mag,
-        "loss_time": time_loss,
-        "loss_gan": gan_loss,
+        "loss_ri": jnp.mean(loss_ri),
+        "loss_mag": jnp.mean(loss_mag),
+        "loss_time": jnp.mean(time_loss),
+        "loss_gan": jnp.mean(gan_loss),
     }
-    return total, parts, new_disc_stats
+    return jnp.mean(total), total, parts, new_disc_stats
 
 
 def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
@@ -145,6 +158,7 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
     gen = TSCNet(cfg.model, dtype=dtype)
     disc = MetricDiscriminator(cfg.model, dtype=dtype)
     gen_tx, disc_tx = make_optimizers(cfg, steps_per_epoch)
+    disc_lr = make_disc_lr_schedule(cfg, steps_per_epoch)
     weights = cfg.train.loss_weights
 
     def _g_core(state: TrainState, clean, noisy):
@@ -166,7 +180,7 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
                 "params": state.disc_params,
                 "batch_stats": state.disc_stats,
             }
-            total, parts, disc_stats = _generator_loss(
+            total, _, parts, disc_stats = _generator_loss(
                 disc, disc_vars, out, clean, weights, train=True, dropout_rng=disc_rng
             )
             return total, (out, parts, disc_stats)
@@ -228,6 +242,13 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
             updates, new_opt = disc_tx.update(
                 grads, state.disc_opt, state.disc_params
             )
+            # disc_tx runs at unit LR; scale by the epoch-keyed StepLR on
+            # the shared global step (state.step was already advanced by
+            # the G phase, so this batch's step is state.step - 1) so
+            # skipped batches don't stall the decay (reference
+            # src/train.py:248-253 steps both schedulers per epoch).
+            lr = disc_lr(state.step - 1)
+            updates = jax.tree.map(lambda u: u * lr, updates)
             new_params = optax.apply_updates(state.disc_params, updates)
             return new_params, new_opt, new_stats
 
@@ -260,7 +281,11 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
 
     @jax.jit
     def test_fwd(state: TrainState, clean, noisy):
-        """Eval-mode forward: returns generator loss parts + handoff."""
+        """Eval-mode forward: returns generator loss parts + handoff.
+
+        metrics['gen_loss_per_ex'] carries per-example totals so the
+        caller can weight partial (wrap-padded) batches by real rows.
+        """
         out = _generator_forward(
             gen,
             {"params": state.gen_params, "batch_stats": state.gen_stats},
@@ -270,8 +295,10 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
             train=False,
         )
         disc_vars = {"params": state.disc_params, "batch_stats": state.disc_stats}
-        total, parts, _ = _generator_loss(disc, disc_vars, out, clean, weights)
-        metrics = dict(parts, gen_loss=total)
+        total, total_per_ex, parts, _ = _generator_loss(
+            disc, disc_vars, out, clean, weights
+        )
+        metrics = dict(parts, gen_loss=total, gen_loss_per_ex=total_per_ex)
         handoff = {
             "clean_mag": out["clean_mag"],
             "est_mag": out["est_mag"],
@@ -281,6 +308,7 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
 
     @jax.jit
     def test_disc_loss(state: TrainState, clean_mag, est_mag, pesq_scores):
+        """Per-example D losses [B] (0 when any PESQ label failed)."""
         valid = jnp.min(pesq_scores) >= 0.0
         labels = (pesq_scores - cfg.train.pesq_norm_offset) / cfg.train.pesq_norm_scale
         disc_vars = {"params": state.disc_params, "batch_stats": state.disc_stats}
@@ -288,9 +316,7 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
         y = jnp.concatenate([clean_mag, est_mag], axis=0)
         scores = disc.apply(disc_vars, x, y, train=False).reshape(-1)
         b = clean_mag.shape[0]
-        loss = jnp.mean((scores[:b] - 1.0) ** 2) + jnp.mean(
-            (scores[b:] - labels) ** 2
-        )
-        return jnp.where(valid, loss, 0.0)
+        loss = (scores[:b] - 1.0) ** 2 + (scores[b:] - labels) ** 2
+        return jnp.where(valid, loss, jnp.zeros_like(loss))
 
     return g_step, d_step, test_fwd, test_disc_loss, fused_step

@@ -80,3 +80,20 @@ def test_loader_batches(data_dir):
     assert len(batches) == 3  # 10 // 3
     for clean, noisy in batches:
         assert clean.shape == noisy.shape == (3, 4000)
+
+
+def test_sharding_equal_when_fewer_tracks_than_processes(data_dir):
+    """With n < num_processes the order must tile so every process gets
+    the same (nonzero) shard length — unequal shards desync collectives
+    across hosts."""
+    ds = DemandDataset(data_dir, cut_len=4000)  # 10 tracks
+    lengths = []
+    for rank in range(16):
+        loader = BatchLoader(
+            ds, batch_size=1, shuffle=False, drop_last=False,
+            num_processes=16, process_index=rank, prefetch=0,
+        )
+        idxs = loader._epoch_indices()
+        lengths.append(len(idxs))
+        assert all(0 <= int(i) < 10 for i in idxs)
+    assert len(set(lengths)) == 1 and lengths[0] == 1

@@ -142,6 +142,51 @@ def test_lr_schedule():
     assert float(sched(100 * 60)) == pytest.approx(1.25e-4)
 
 
+def test_disc_lr_decays_with_global_step():
+    """The D StepLR keys on the shared global step, not optax's
+    applied-update count, so skipped (PESQ-invalid) batches cannot stall
+    the decay (reference steps both schedulers per epoch,
+    src/train.py:248-253). Adam's first update has magnitude ~= lr per
+    weight, so first-update deltas at pre/post-decay steps must be ~2:1.
+    """
+    cfg = tiny_cfg(batch_size=8)
+    mesh = make_mesh(cfg.mesh)
+    steps_per_epoch = 10
+    _, d_step, *_ = make_train_steps(cfg, steps_per_epoch=steps_per_epoch)
+    from cmgan_tpu.parallel import replicate_state
+
+    frames = cfg.dsp.num_frames(cfg.train.cut_len)
+    mag = np.abs(
+        np.random.default_rng(3).standard_normal(
+            (8, frames, cfg.dsp.num_freqs)
+        )
+    ).astype(np.float32)
+    mag_d = shard_batch(mesh, mag)
+    est_d = shard_batch(mesh, mag * 0.7)
+    scores = shard_batch(mesh, np.full(8, 2.5, np.float32))
+
+    def first_update_delta(global_step):
+        state = init_train_state(cfg, seed=0, steps_per_epoch=steps_per_epoch)
+        # as if the G phase of this batch already ran at step global_step
+        state = state.replace(step=jnp.asarray(global_step + 1, jnp.int32))
+        before = jax.device_get(state.disc_params)
+        state = replicate_state(mesh, state)
+        state, _ = d_step(state, mag_d, est_d, scores)
+        after = jax.device_get(state.disc_params)
+        return np.max(
+            jax.tree.leaves(
+                jax.tree.map(
+                    lambda a, b: float(np.max(np.abs(a - b))), before, after
+                )
+            )
+        )
+
+    decay_step = steps_per_epoch * cfg.train.decay_epochs
+    d_pre = first_update_delta(decay_step - 1)
+    d_post = first_update_delta(decay_step)
+    assert d_post / d_pre == pytest.approx(0.5, rel=0.05)
+
+
 def test_checkpoint_roundtrip(tmp_path, stepped):
     from cmgan_tpu.checkpoint import restore_train_state, save_train_state
 
