@@ -226,8 +226,8 @@ def pesq_mos_jax(ref: jax.Array, deg: jax.Array) -> jax.Array:
 
     raw = (
         4.5
-        - _spec._D_WEIGHT * aggregate(d_frame)
-        - _spec._DA_WEIGHT * aggregate(da_frame)
+        - _spec._D_WEIGHT * aggregate(d_frame) ** _spec._D_POWER
+        - _spec._DA_WEIGHT * aggregate(da_frame) ** _spec._DA_POWER
     )
     return 0.999 + 4.0 / (1.0 + jnp.exp(-1.3669 * raw + 3.8224))
 

@@ -32,12 +32,21 @@ _TARGET_POWER = 1e7  # level-alignment target band power
 _ZWICKER_EXP = 0.23
 _LOUDNESS_SCALE = 0.1866055  # Sl loudness scale
 _GAIN_COMP_EXP = 0.5  # partial short-term gain compensation strength
-# Disturbance weights calibrated on VCTK-DEMAND anchors: with these the
-# 25 checked-in sample triplets reproduce the published aggregates to
-# within 0.04 MOS (noisy floor 1.97 -> 2.00, CMGAN 3.41 -> 3.37) with
-# clean/clean at the 4.64 ceiling and enhanced > noisy on 25/25 tracks.
-_D_WEIGHT = 0.015
-_DA_WEIGHT = 0.0550703
+# Disturbance -> raw-MOS mapping, calibrated PER-TRACK against the ITU
+# `pesq` wheel: the reference repo checks in wheel PESQ for all 824
+# VCTK-DEMAND test tracks (src/tools/Noisy_metrics_results/
+# python_noisy_metrics.log) and 25 of those tracks' wavs are present in
+# AudioSamples/, giving 25 exact ITU anchor values. The fit (see
+# tools/pesq_calibrate.py, report in CALIBRATION.md) minimizes MOS error
+# over those anchors with the d-term share of the mean drop constrained
+# to >=50% so BOTH terms stay live off-corpus (the additive-noise corpus
+# alone cannot identify them separately):
+#   fit MAE 0.12, leave-one-out MAE 0.14, bias +0.003, Spearman 0.99
+# (the round-1 two-aggregate calibration scored MAE 0.43 per track).
+_D_WEIGHT = 1.41e-05
+_D_POWER = 3.2379832
+_DA_WEIGHT = 0.4424533
+_DA_POWER = 0.296617
 
 
 def _bark(f):
@@ -278,6 +287,10 @@ def pesq_wb_np(
 
     if _return_disturbances:
         return float(d_total), float(da_total)
-    raw = 4.5 - _D_WEIGHT * d_total - _DA_WEIGHT * da_total
+    raw = (
+        4.5
+        - _D_WEIGHT * d_total**_D_POWER
+        - _DA_WEIGHT * da_total**_DA_POWER
+    )
     # P.862.2 wideband logistic mapping to MOS-LQO
     return float(0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224)))

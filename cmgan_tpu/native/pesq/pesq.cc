@@ -28,8 +28,13 @@ constexpr double kTargetPower = 1e7;
 constexpr double kZwickerExp = 0.23;
 constexpr double kLoudnessScale = 0.1866055;
 constexpr double kGainCompExp = 0.5;
-constexpr double kDWeight = 0.015;
-constexpr double kDAWeight = 0.0550703;
+// Disturbance->MOS mapping fitted per-track against 25 exact ITU wheel
+// anchors (see cmgan_tpu/metrics/pesq_ref.py and CALIBRATION.md); must
+// stay in lockstep with the numpy spec.
+constexpr double kDWeight = 1.41e-05;
+constexpr double kDPower = 3.2379832;
+constexpr double kDAWeight = 0.4424533;
+constexpr double kDAPower = 0.296617;
 
 // 100 Hz high-pass biquad (matches the published P.862.2 WB input SOS).
 constexpr double kHpB[3] = {0.9726138984998438, -1.9452277969996876,
@@ -330,7 +335,8 @@ double pesq_wb_impl(const double* ref_in, const double* deg_in, long n) {
 
   double d_total = aggregate(d_frame);
   double da_total = aggregate(da_frame);
-  double raw = 4.5 - kDWeight * d_total - kDAWeight * da_total;
+  double raw = 4.5 - kDWeight * std::pow(d_total, kDPower) -
+               kDAWeight * std::pow(da_total, kDAPower);
   return 0.999 + 4.0 / (1.0 + std::exp(-1.3669 * raw + 3.8224));
 }
 

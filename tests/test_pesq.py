@@ -83,3 +83,145 @@ def test_delay_alignment():
     clean = _load("clean", "p232_003.wav")
     delayed = np.concatenate([np.zeros(1000), clean])[: clean.size]
     assert pesq(16000, clean, delayed) > 4.2
+
+
+# ---------------------------------------------------------------------------
+# Wheel-anchor calibration tests: the reference checks in per-track ITU
+# `pesq` wheel scores for all 824 VCTK-DEMAND test tracks
+# (src/tools/Noisy_metrics_results/python_noisy_metrics.log); the 25
+# AudioSamples tracks give exact anchors. See CALIBRATION.md.
+# ---------------------------------------------------------------------------
+
+WHEEL_LOG = os.path.join(
+    os.path.dirname(REF_SAMPLES),
+    "src/tools/Noisy_metrics_results/python_noisy_metrics.log",
+)
+
+
+def _wheel_scores():
+    import re
+
+    text = open(WHEEL_LOG).read()
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r"Track name: (\S+)\tPESQ: ([\d.]+)", text)
+    }
+
+
+@pytest.mark.skipif(
+    not (HAVE_SAMPLES and os.path.exists("/root/reference/src")),
+    reason="reference mount absent",
+)
+def test_per_track_error_vs_itu_wheel():
+    """MAE vs the 25 exact ITU wheel anchors must stay <= 0.16 (fitted
+    0.121, LOO 0.140) with near-zero bias and Spearman >= 0.98."""
+    wheel = _wheel_scores()
+    names = sorted(os.listdir(os.path.join(REF_SAMPLES, "clean")))
+    ours, theirs = [], []
+    for fname in names:
+        track = fname[:-4]
+        assert track in wheel, track
+        clean = _load("clean", fname)
+        noisy = _load("noisy", fname)
+        n = min(clean.size, noisy.size)
+        ours.append(pesq_wb_np(clean[:n], noisy[:n]))
+        theirs.append(wheel[track])
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    err = ours - theirs
+    assert np.mean(np.abs(err)) <= 0.16, np.mean(np.abs(err))
+    assert abs(np.mean(err)) <= 0.08, np.mean(err)
+    # rank agreement (scipy-free Spearman)
+    ra = np.argsort(np.argsort(ours)).astype(float)
+    rb = np.argsort(np.argsort(theirs)).astype(float)
+    rho = np.corrcoef(ra, rb)[0, 1]
+    assert rho >= 0.98, rho
+
+
+# ---------------------------------------------------------------------------
+# Property suite on synthetic distortions (off-corpus behavior)
+# ---------------------------------------------------------------------------
+
+
+def _clean_track():
+    return _load("clean", "p232_003.wav")
+
+
+def _with_noise_at_snr(x, noise, snr_db):
+    g = np.sqrt(np.mean(x * x) / (np.mean(noise * noise) * 10 ** (snr_db / 10)))
+    return x + g * noise
+
+
+@pytest.mark.skipif(not HAVE_SAMPLES, reason="reference mount absent")
+@pytest.mark.parametrize("name", ["p232_003.wav", "p257_011.wav"])
+def test_property_monotone_in_snr(name):
+    x = _load("clean", name)
+    noise = np.random.default_rng(0).standard_normal(x.size)
+    scores = [
+        pesq_wb_np(x, _with_noise_at_snr(x, noise, s))
+        for s in (-5, 0, 5, 10, 15, 20, 30, 40)
+    ]
+    assert all(a <= b + 1e-9 for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] < 1.3  # floor region at -5 dB white noise
+    assert scores[-1] > 3.0  # 40 dB nearly clean
+
+
+@pytest.mark.skipif(not HAVE_SAMPLES, reason="reference mount absent")
+def test_property_level_invariance():
+    x = _clean_track()
+    noise = np.random.default_rng(1).standard_normal(x.size)
+    deg = _with_noise_at_snr(x, noise, 10)
+    base = pesq_wb_np(x, deg)
+    for db in (-20, -6, 6, 20):
+        g = 10 ** (db / 20)
+        assert pesq_wb_np(x, deg * g) == pytest.approx(base, abs=1e-6)
+        assert pesq_wb_np(x * g, deg * g) == pytest.approx(base, abs=1e-6)
+
+
+@pytest.mark.skipif(not HAVE_SAMPLES, reason="reference mount absent")
+def test_property_shift_robustness():
+    x = _clean_track()
+    noise = np.random.default_rng(2).standard_normal(x.size)
+    deg = _with_noise_at_snr(x, noise, 10)
+    base = pesq_wb_np(x, deg)
+    for ms in (5, 20, 125):
+        shifted = np.concatenate([np.zeros(ms * 16), deg])
+        assert pesq_wb_np(x, shifted) == pytest.approx(base, abs=0.02)
+
+
+@pytest.mark.skipif(not HAVE_SAMPLES, reason="reference mount absent")
+def test_property_clipping_monotone():
+    x = _clean_track()
+    peak = np.max(np.abs(x))
+    scores = [
+        pesq_wb_np(x, np.clip(x, -c * peak, c * peak))
+        for c in (1.0, 0.5, 0.2, 0.1, 0.05)
+    ]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+
+
+@pytest.mark.skipif(not HAVE_SAMPLES, reason="reference mount absent")
+def test_property_bandlimit_monotone_and_below_ceiling():
+    """Content REMOVAL must be penalized (carried by the symmetric d
+    term; the asymmetric da term alone is blind to it)."""
+    from scipy.signal import butter, lfilter
+
+    x = _clean_track()
+    scores = []
+    for fc in (5000, 3400, 2000, 1000):
+        b, a = butter(4, fc / 8000)
+        scores.append(pesq_wb_np(x, lfilter(b, a, x)))
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[-1] < 3.0  # 1 kHz lowpass well below ceiling
+
+
+@pytest.mark.skipif(not HAVE_SAMPLES, reason="reference mount absent")
+def test_property_added_noise_worse_than_removed_content():
+    """P.862's defining asymmetry: additions hurt more than removals."""
+    from scipy.signal import butter, lfilter
+
+    x = _clean_track()
+    b, a = butter(4, 2000 / 8000)
+    removed = pesq_wb_np(x, lfilter(b, a, x))
+    noise = np.random.default_rng(3).standard_normal(x.size)
+    added = pesq_wb_np(x, _with_noise_at_snr(x, noise, 15))
+    assert added < removed - 0.5, (added, removed)
