@@ -72,17 +72,23 @@ def bucket_pad(noisy: np.ndarray, hop: int, cut_len: int, bucket: int) -> np.nda
 
 
 class Enhancer:
-    """Stateful wrapper holding jitted per-shape enhancement executables."""
+    """Stateful wrapper holding jitted per-shape enhancement executables.
 
-    def __init__(self, cfg: CMGANConfig, variables, dtype=None):
+    mesh: optional device mesh made ambient around every jitted call —
+    required when cfg.model.attention_impl == 'seq' (long-form time-axis
+    sharding over the mesh's `seq` axis, BASELINE config 5).
+    """
+
+    def __init__(self, cfg: CMGANConfig, variables, dtype=None, mesh=None):
         self.cfg = cfg
         self.variables = variables
         self.model = TSCNet(cfg.model, dtype=dtype)
+        self.mesh = mesh
 
         dsp = cfg.dsp
 
         @jax.jit
-        def _enhance_batch(variables, segments):
+        def _jit_enhance_batch(variables, segments):
             # segments: [B, L] already RMS-normalized
             spec = stft(segments, dsp.n_fft, dsp.hop)
             packed = power_compress(spec, exponent=dsp.compress_exponent)
@@ -91,6 +97,39 @@ class Enhancer:
                 est_real, est_imag, exponent=dsp.compress_exponent
             )
             return istft(est_spec, dsp.n_fft, dsp.hop)
+
+        @jax.jit
+        def _jit_front(segments):
+            return power_compress(
+                stft(segments, dsp.n_fft, dsp.hop),
+                exponent=dsp.compress_exponent,
+            )
+
+        @jax.jit
+        def _jit_model(variables, packed):
+            return self.model.apply(variables, packed, train=False)
+
+        @jax.jit
+        def _jit_back(est_real, est_imag):
+            return istft(
+                power_uncompress(
+                    est_real, est_imag, exponent=dsp.compress_exponent
+                ),
+                dsp.n_fft,
+                dsp.hop,
+            )
+
+        def _enhance_batch(variables, segments):
+            if self.mesh is not None:
+                # Under a mesh, the FFT stages compile OUTSIDE the mesh
+                # context: the mesh only affects the model's seq-sharded
+                # attention, and XLA:CPU's fft thunk rejects the layouts
+                # it picks when rFFT and shard_map share one module.
+                packed = _jit_front(segments)
+                with jax.sharding.set_mesh(self.mesh):
+                    est_real, est_imag = _jit_model(variables, packed)
+                return _jit_back(est_real, est_imag)
+            return _jit_enhance_batch(variables, segments)
 
         self._enhance_batch = _enhance_batch
 

@@ -54,9 +54,12 @@ class RelPosAttention(nn.Module):
     attention_impl: 'xla' materializes dense logits; 'flash' uses the
     fused Pallas kernel (cmgan_tpu/ops/flash_attention.py, fwd + bwd);
     'auto' switches to flash at >=512 frames, where dense [*, T, T]
-    logits dominate HBM. The kernel has no attention-weight dropout, so
-    train mode uses it only when attn dropout is 0 (e.g. long-form
-    configs); otherwise training takes the XLA path.
+    logits dominate HBM; 'seq' shards the time axis over the ambient
+    mesh's `seq` axis (ops/seq_attention.py — cross-chip long-form;
+    wrap apply in jax.sharding.set_mesh). The fused kernels have no
+    attention-weight dropout, so train mode uses them only when attn
+    dropout is 0 (e.g. long-form configs); otherwise training takes the
+    XLA path.
     """
 
     dim: int
@@ -87,24 +90,33 @@ class RelPosAttention(nn.Module):
             (2 * self.max_pos_emb + 1, d),
         )
 
-        use_flash = (not train or self.dropout == 0.0) and (
+        fused_ok = not train or self.dropout == 0.0
+        use_seq = fused_ok and self.attention_impl == "seq"
+        use_flash = fused_ok and (
             self.attention_impl == "flash"
             or (self.attention_impl == "auto" and n >= 512)
         )
-        if use_flash:
+        if use_seq or use_flash:
             from cmgan_tpu.ops.flash_attention import flash_rel_attention
 
             compute = jnp.float32 if self.dtype is None else self.dtype
-            # The kernel computes q.k + q.rel with no internal scale, so
+            # The kernels compute q.k + q.rel with no internal scale, so
             # the pre-scaled q carries the single softmax scale for BOTH
             # terms — the table must be passed unscaled.
-            out = flash_rel_attention(
-                (q * scale).astype(compute).reshape(b * h, n, d),
-                k.astype(compute).reshape(b * h, n, d),
-                v.astype(compute).reshape(b * h, n, d),
-                jnp.asarray(rel_table).astype(compute),
-                self.max_pos_emb,
-            ).reshape(b, h, n, d)
+            qs = (q * scale).astype(compute).reshape(b * h, n, d)
+            ks = k.astype(compute).reshape(b * h, n, d)
+            vs = v.astype(compute).reshape(b * h, n, d)
+            table = jnp.asarray(rel_table).astype(compute)
+            if use_seq:
+                from cmgan_tpu.ops.seq_attention import seq_rel_attention
+
+                out = seq_rel_attention(
+                    qs, ks, vs, table, self.max_pos_emb, batch_axis="data"
+                ).reshape(b, h, n, d)
+            else:
+                out = flash_rel_attention(
+                    qs, ks, vs, table, self.max_pos_emb
+                ).reshape(b, h, n, d)
         else:
             logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
             # Shaw relative positions, clipped to ±max_pos_emb.

@@ -105,7 +105,7 @@ class TSCB(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype | None = None
 
-    def _block(self, name: str) -> ConformerBlock:
+    def _block(self, name: str, attention_impl: str | None = None) -> ConformerBlock:
         c = self.cfg
         return ConformerBlock(
             dim=c.num_channels,
@@ -118,7 +118,7 @@ class TSCB(nn.Module):
             ff_dropout=c.ff_dropout,
             conv_dropout=c.conv_dropout,
             max_pos_emb=c.max_rel_pos,
-            attention_impl=c.attention_impl,
+            attention_impl=attention_impl or c.attention_impl,
             dtype=self.dtype,
             name=name,
         )
@@ -126,12 +126,15 @@ class TSCB(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, t, f, c = x.shape
+        # 'seq' (time-axis sharding) applies to the TIME conformer only;
+        # the freq conformer (<=201 tokens) never needs it (SURVEY §5)
+        freq_impl = "auto" if self.cfg.attention_impl == "seq" else None
         # time attention: sequences along T, one per (batch, freq) row
         xt = x.transpose(0, 2, 1, 3).reshape(b * f, t, c)
         xt = self._block("time_conformer")(xt, train=train) + xt
         # freq attention: sequences along F, one per (batch, time) row
         xf = xt.reshape(b, f, t, c).transpose(0, 2, 1, 3).reshape(b * t, f, c)
-        xf = self._block("freq_conformer")(xf, train=train) + xf
+        xf = self._block("freq_conformer", freq_impl)(xf, train=train) + xf
         return xf.reshape(b, t, f, c)
 
 

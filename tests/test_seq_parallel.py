@@ -1,0 +1,162 @@
+"""Sequence-parallel attention: numerics vs single-device, fwd + grads.
+
+Runs on the virtual 8-CPU mesh from conftest, including a 2x4 data x seq
+mesh as prescribed for long-form (BASELINE config 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from cmgan_tpu.ops.flash_attention import (
+    flash_rel_attention,
+    make_rel_band,
+    reference_attention,
+)
+from cmgan_tpu.ops.seq_attention import seq_rel_attention
+
+MAX_POS = 512
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+def _seq_mesh(n_seq):
+    devs = np.array(jax.devices()[:n_seq]).reshape(n_seq)
+    return Mesh(devs, ("seq",))
+
+
+@pytest.mark.parametrize("t,n_seq", [(1024, 4), (777, 8), (512, 2)])
+def test_seq_sharded_matches_reference(rng, t, n_seq):
+    g, d = 4, 16
+    q = _rand(rng, g, t, d) * 0.5
+    k = _rand(rng, g, t, d) * 0.5
+    v = _rand(rng, g, t, d)
+    table = _rand(rng, 2 * MAX_POS + 1, d)
+
+    mesh = _seq_mesh(n_seq)
+    out = seq_rel_attention(q, k, v, table, MAX_POS, mesh)
+    band = make_rel_band(np.asarray(table), t, MAX_POS)
+    ref = reference_attention(q, k, v, jnp.asarray(band), t)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4
+    )
+
+
+def test_seq_sharded_matches_single_device_kernel(rng):
+    g, t, d, n_seq = 3, 640, 16, 4
+    q = _rand(rng, g, t, d) * 0.5
+    k = _rand(rng, g, t, d) * 0.5
+    v = _rand(rng, g, t, d)
+    table = _rand(rng, 2 * MAX_POS + 1, d)
+    mesh = _seq_mesh(n_seq)
+    out = seq_rel_attention(q, k, v, table, MAX_POS, mesh)
+    single = flash_rel_attention(q, k, v, table, MAX_POS)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(single), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_seq_sharded_gradients(rng):
+    """dq/dk/dv/dtable through shard_map == single-device kernel grads
+    (all_gather transposes to psum_scatter; table grad psummed)."""
+    g, t, d, n_seq = 2, 512, 16, 4
+    q = _rand(rng, g, t, d) * 0.5
+    k = _rand(rng, g, t, d) * 0.5
+    v = _rand(rng, g, t, d)
+    table = _rand(rng, 2 * MAX_POS + 1, d)
+    mesh = _seq_mesh(n_seq)
+
+    def loss_sharded(q, k, v, table):
+        return jnp.sum(jnp.sin(seq_rel_attention(q, k, v, table, MAX_POS, mesh)))
+
+    def loss_single(q, k, v, table):
+        return jnp.sum(jnp.sin(flash_rel_attention(q, k, v, table, MAX_POS)))
+
+    g1 = jax.grad(loss_sharded, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g2 = jax.grad(loss_single, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for name, a, b in zip("qkvE", g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad wrt {name}",
+        )
+
+
+def test_seq_sharded_on_data_seq_mesh(rng):
+    """2x4 data x seq mesh: seq sharding composes with data parallelism."""
+    g, t, d = 4, 512, 16
+    q = _rand(rng, g, t, d) * 0.5
+    k = _rand(rng, g, t, d) * 0.5
+    v = _rand(rng, g, t, d)
+    table = _rand(rng, 2 * MAX_POS + 1, d)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    out = seq_rel_attention(q, k, v, table, MAX_POS, mesh)
+    band = make_rel_band(np.asarray(table), t, MAX_POS)
+    ref = reference_attention(q, k, v, jnp.asarray(band), t)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4
+    )
+
+
+def test_relpos_attention_module_seq_impl(rng):
+    """RelPosAttention(attention_impl='seq') under an ambient 2x4
+    data x seq mesh matches the XLA path."""
+    from cmgan_tpu.models.conformer import RelPosAttention
+
+    b, n, dim = 2, 512, 64
+    x = _rand(rng, b, n, dim) * 0.5
+    seq = RelPosAttention(dim, attention_impl="seq")
+    xla = RelPosAttention(dim, attention_impl="xla")
+    # init outside the mesh context via the XLA path (identical params)
+    variables = xla.init({"params": jax.random.key(0)}, x)
+    out_xla = xla.apply(variables, x, train=False)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    with jax.sharding.set_mesh(mesh):
+        out_seq = seq.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_seq), np.asarray(out_xla), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_enhancer_seq_sharded_long_form(rng):
+    """Full enhancement pipeline with the time conformer sharded over a
+    seq mesh matches the unsharded pipeline (long-form analog on a tiny
+    DSP config so interpret-mode pallas stays fast)."""
+    import dataclasses
+
+    from cmgan_tpu.config import CMGANConfig, DSPConfig, EvalConfig, ModelConfig
+    from cmgan_tpu.inference import Enhancer
+
+    dsp = DSPConfig(sample_rate=4000, n_fft=64, hop=16)
+    model_base = ModelConfig(
+        num_channels=8,
+        num_features=dsp.num_freqs,
+        num_tscb_blocks=1,
+        dense_depth=2,
+        attn_heads=2,
+        ndf=4,
+        attention_impl="xla",
+    )
+    cfg = CMGANConfig(dsp=dsp, model=model_base, eval=EvalConfig(cut_len=4000 * 16))
+    cfg_seq = dataclasses.replace(
+        cfg, model=dataclasses.replace(model_base, attention_impl="seq")
+    )
+
+    from cmgan_tpu.models import TSCNet
+
+    track = (rng.standard_normal(4096) * 0.1).astype(np.float32)
+    frames = dsp.num_frames(4096)
+    spec = jnp.zeros((1, frames, dsp.num_freqs, 2), jnp.float32)
+    variables = TSCNet(model_base).init({"params": jax.random.key(0)}, spec)
+
+    base = Enhancer(cfg, variables).enhance(track, mode="exact")
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    sharded = Enhancer(cfg_seq, variables, mesh=mesh).enhance(track, mode="exact")
+    assert base.shape == sharded.shape == track.shape
+    np.testing.assert_allclose(base, sharded, atol=5e-5, rtol=1e-4)
