@@ -1,0 +1,214 @@
+"""Quality-evidence training run (QUALITY_r02.md data source).
+
+The full VCTK-DEMAND corpus and the released best_ckpt are absent from
+this environment, so full PESQ-3.41 parity cannot be demonstrated
+directly. This script produces the strongest evidence obtainable with
+what IS here: train the reference recipe (fp32, host PESQ labels,
+AdamW 5e-4/1e-3, loss weights 0.1/0.9/0.2/0.05, 2 s crops) on an
+augmented corpus built from the 20 train-split sample pairs, and track
+on HELD-OUT tracks (5 pairs never seen in training, neither as clean
+speech nor as noise residual):
+
+  - enhanced PESQ / composite metrics vs the noisy floor,
+  - generator / discriminator loss curves (JSONL),
+  - correlation of the discriminator's predicted quality score with the
+    native PESQ scorer (the metric-GAN premise).
+
+Usage:
+  python tools/quality_run.py --out /tmp/qrun --minutes 180
+  python tools/quality_run.py --out /tmp/qrun_bf16 --minutes 45 --bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cmgan_tpu.data import natsorted, read_wav, write_wav  # noqa: E402
+
+REF = "/root/reference/AudioSamples"
+# held-out tracks: never in training (as speech OR residual source)
+HOLDOUT = ["p232_005.wav", "p232_021.wav", "p257_008.wav", "p257_015.wav",
+           "p257_023.wav"]
+
+
+def build_split(out_dir: str, per_clean: int = 20, seed: int = 0):
+    """Augmented train set from the 20 non-holdout pairs + eval dir."""
+    from tools.make_aug_dataset import build
+
+    src = os.path.join(out_dir, "src_train")
+    for sub in ("clean", "noisy"):
+        os.makedirs(os.path.join(src, sub), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "eval", sub), exist_ok=True)
+    names = natsorted(os.listdir(os.path.join(REF, "clean")))
+    for n in names:
+        for sub in ("clean", "noisy"):
+            x, sr = read_wav(os.path.join(REF, sub, n))
+            dst = src if n not in HOLDOUT else os.path.join(out_dir, "eval")
+            write_wav(os.path.join(dst, sub, n), x[0], sr)
+    build(src, os.path.join(out_dir, "train"), per_clean, seed=seed)
+
+
+def eval_holdout(enhancer, out_dir: str):
+    """PESQ + composite metrics on held-out tracks, enhanced vs noisy."""
+    from cmgan_tpu.metrics import compute_metrics
+
+    rows = []
+    for n in HOLDOUT:
+        clean, _ = read_wav(os.path.join(out_dir, "eval", "clean", n))
+        noisy, _ = read_wav(os.path.join(out_dir, "eval", "noisy", n))
+        clean, noisy = clean[0].astype(np.float64), noisy[0].astype(np.float64)
+        est = enhancer.enhance(noisy.astype(np.float32)).astype(np.float64)
+        m = min(clean.size, noisy.size, est.size)
+        enh = compute_metrics(clean[:m], est[:m], 16000)
+        floor = compute_metrics(clean[:m], noisy[:m], 16000)
+        rows.append({"track": n,
+                     "enh": dict(zip(("pesq", "csig", "cbak", "covl", "ssnr", "stoi"), enh)),
+                     "noisy": dict(zip(("pesq", "csig", "cbak", "covl", "ssnr", "stoi"), floor))})
+    agg = {
+        side: {k: float(np.mean([r[side][k] for r in rows]))
+               for k in rows[0]["enh"]}
+        for side in ("enh", "noisy")
+    }
+    return rows, agg
+
+
+def disc_pesq_correlation(trainer, out_dir: str, cfg):
+    """Correlate D's predicted score with native PESQ on held-out crops."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmgan_tpu.dsp import power_compress, stft
+    from cmgan_tpu.metrics.pesq_native import pesq_batch
+    from cmgan_tpu.models import MetricDiscriminator
+
+    disc = MetricDiscriminator(cfg.model)
+    state = jax.device_get(trainer.state)
+    dvars = {"params": state.disc_params, "batch_stats": state.disc_stats}
+    preds, trues = [], []
+    rng = np.random.default_rng(0)
+    for n in HOLDOUT:
+        clean, _ = read_wav(os.path.join(out_dir, "eval", "clean", n))
+        noisy, _ = read_wav(os.path.join(out_dir, "eval", "noisy", n))
+        clean, noisy = clean[0], noisy[0]
+        L = cfg.train.cut_len
+        for _ in range(4):  # 4 random crops per track + mix levels
+            if clean.size <= L:
+                c = np.tile(clean, -(-L // clean.size))[:L]
+                y = np.tile(noisy, -(-L // noisy.size))[:L]
+            else:
+                o = rng.integers(0, clean.size - L + 1)
+                c, y = clean[o:o + L], noisy[o:o + L]
+            alpha = float(rng.uniform(0.0, 1.0))  # blend -> quality sweep
+            d = (1 - alpha) * c + alpha * y
+            norm = np.sqrt(L / np.sum(y * y))
+            spec_c = power_compress(stft(jnp.asarray(c * norm)[None], cfg.dsp.n_fft, cfg.dsp.hop))
+            spec_d = power_compress(stft(jnp.asarray(d * norm)[None], cfg.dsp.n_fft, cfg.dsp.hop))
+            mag_c = jnp.sqrt(spec_c[..., 0] ** 2 + spec_c[..., 1] ** 2)
+            mag_d = jnp.sqrt(spec_d[..., 0] ** 2 + spec_d[..., 1] ** 2)
+            pred = float(np.asarray(disc.apply(dvars, mag_c, mag_d, train=False)).ravel()[0])
+            true = float(pesq_batch(c[None].astype(np.float64), d[None].astype(np.float64))[0])
+            preds.append(pred)
+            trues.append(true)
+    preds, trues = np.array(preds), np.array(trues)
+    # D predicts (pesq-1)/3.5
+    trues_n = (trues - 1.0) / 3.5
+    return {
+        "pearson_r": float(np.corrcoef(preds, trues_n)[0, 1]),
+        "n": int(preds.size),
+        "pred_mean": float(preds.mean()),
+        "true_mean": float(trues_n.mean()),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--minutes", type=float, default=180.0)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--eval_every_epochs", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--per_clean", type=int, default=20)
+    # The reference decays LR every 30 epochs of ~2.9k steps (~86k
+    # steps). The augmented corpus has ~95-step epochs, so the default
+    # epoch-keyed decay would fire ~30x too often; 900 epochs here ==
+    # the reference's decay position in STEPS.
+    ap.add_argument("--decay_epochs", type=int, default=900)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from cmgan_tpu.config import CMGANConfig, TrainConfig
+    from cmgan_tpu.data.dataset import BatchLoader, DemandDataset
+    from cmgan_tpu.inference import Enhancer
+    from cmgan_tpu.train import Trainer
+
+    os.makedirs(args.out, exist_ok=True)
+    if not os.path.isdir(os.path.join(args.out, "train", "clean")):
+        build_split(args.out, per_clean=args.per_clean, seed=args.seed)
+
+    cfg = CMGANConfig(
+        train=dataclasses.replace(
+            TrainConfig(),
+            batch_size=args.batch,
+            data_dir=os.path.join(args.out, "train"),
+            save_model_dir=os.path.join(args.out, "ckpt"),
+            log_interval=50,
+            seed=args.seed,
+            decay_epochs=args.decay_epochs,
+        ),
+    )
+    ds = DemandDataset(cfg.train.data_dir, cfg.train.cut_len)
+    train_loader = BatchLoader(
+        ds, cfg.train.batch_size, shuffle=True, drop_last=True,
+        seed=cfg.train.seed,
+    )
+    trainer = Trainer(
+        cfg,
+        train_loader,
+        test_loader=None,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        metrics_path=os.path.join(args.out, "metrics.jsonl"),
+    )
+
+    def snapshot_eval(tag):
+        state = jax.device_get(trainer.state)
+        variables = {"params": state.gen_params, "batch_stats": state.gen_stats}
+        enh = Enhancer(cfg, variables)
+        rows, agg = eval_holdout(enh, args.out)
+        corr = disc_pesq_correlation(trainer, args.out, cfg)
+        rec = {"tag": tag, "step": int(state.step), "time": time.time(),
+               "agg": agg, "rows": rows, "disc_corr": corr}
+        with open(os.path.join(args.out, "eval.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(f"[eval {tag}] step={rec['step']} "
+              f"enh_pesq={agg['enh']['pesq']:.3f} noisy_pesq={agg['noisy']['pesq']:.3f} "
+              f"disc_r={corr['pearson_r']:.3f}", flush=True)
+        return rec
+
+    snapshot_eval("init")
+    deadline = time.time() + args.minutes * 60
+    epoch = 0
+    while time.time() < deadline:
+        trainer.train_epoch(epoch)
+        epoch += 1
+        if epoch % args.eval_every_epochs == 0:
+            snapshot_eval(f"epoch{epoch}")
+    final = snapshot_eval("final")
+    trainer.save_checkpoint(cfg.train.save_model_dir, epoch, final["agg"]["enh"]["pesq"])
+    print(json.dumps({"epochs": epoch, "final": final["agg"]}, indent=None))
+
+
+if __name__ == "__main__":
+    main()
