@@ -132,8 +132,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--minutes", type=float, default=180.0)
+    ap.add_argument("--max_steps", type=int, default=0,
+                    help="stop after this many optimizer steps (0 = "
+                    "time-bounded only); use for fixed-step A/B runs")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--remat", action="store_true",
+                    help="TSCB rematerialization (needed for fp32 "
+                    "batch>4 on one 16 GB chip; same utt/s as batch 4)")
     ap.add_argument("--eval_every_epochs", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--per_clean", type=int, default=20)
@@ -169,6 +175,10 @@ def main():
             decay_epochs=args.decay_epochs,
         ),
     )
+    if args.remat:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat=True)
+        )
     ds = DemandDataset(cfg.train.data_dir, cfg.train.cut_len)
     train_loader = BatchLoader(
         ds, cfg.train.batch_size, shuffle=True, drop_last=True,
@@ -203,6 +213,8 @@ def main():
     while time.time() < deadline:
         trainer.train_epoch(epoch)
         epoch += 1
+        if args.max_steps and int(jax.device_get(trainer.state.step)) >= args.max_steps:
+            break
         if epoch % args.eval_every_epochs == 0:
             snapshot_eval(f"epoch{epoch}")
     final = snapshot_eval("final")
