@@ -137,6 +137,7 @@ def long_form_48k(
     num_tscb_blocks: int = 6,
     num_channels: int = 64,
     window_seconds: int = 30,
+    seq_parallel: int = 1,
 ) -> CMGANConfig:
     """Scaled 48 kHz / long-form denoising preset (BASELINE config 5).
 
@@ -145,14 +146,18 @@ def long_form_48k(
     windows — the time conformer runs through the flash-attention
     kernel ('auto' kicks in at >=512 frames), so a 30 s window is a
     2401-frame attention context instead of an OOM. Scale-out is data
-    parallel over the mesh, as for the base config.
+    parallel over the mesh; pass seq_parallel > 1 to also shard the
+    time axis over the `seq` mesh axis (ops/seq_attention.py) when a
+    single window exceeds one chip's budget.
     """
     dsp = DSPConfig(sample_rate=48_000, n_fft=1200, hop=300)
     model = ModelConfig(
         num_channels=num_channels,
         num_features=dsp.num_freqs,
         num_tscb_blocks=num_tscb_blocks,
+        attention_impl="seq" if seq_parallel > 1 else "auto",
     )
     train = TrainConfig(cut_len=dsp.sample_rate * 2)
     ev = EvalConfig(cut_len=dsp.sample_rate * window_seconds)
-    return CMGANConfig(dsp=dsp, model=model, train=train, eval=ev)
+    mesh = MeshConfig(seq_parallel=seq_parallel)
+    return CMGANConfig(dsp=dsp, model=model, train=train, eval=ev, mesh=mesh)

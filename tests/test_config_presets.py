@@ -21,6 +21,19 @@ def test_long_form_preset_values():
     assert cfg.dsp.hop / cfg.dsp.sample_rate == 100 / 16_000
 
 
+def test_long_form_seq_parallel_wiring():
+    """seq_parallel > 1 selects the seq-sharded attention and a 2-axis
+    mesh (data x seq); the default stays single-chip 'auto'."""
+    from cmgan_tpu.parallel import make_mesh
+
+    assert long_form_48k().model.attention_impl == "auto"
+    cfg = long_form_48k(seq_parallel=4)
+    assert cfg.model.attention_impl == "seq"
+    assert cfg.mesh.seq_parallel == 4
+    mesh = make_mesh(cfg.mesh, devices=jax.devices()[:8])
+    assert mesh.shape == {"data": 2, "seq": 4}
+
+
 def test_48k_pipeline_shapes():
     # reduced channels/depth so the CPU test stays fast; the frequency
     # geometry (601 bins -> 301 -> 602 -> 601) is what's under test
