@@ -38,6 +38,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="bfloat16 compute (fp32 params)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conformer blocks (bigger batches)")
+    p.add_argument("--pesq_label_mode", type=str, default=d.pesq_label_mode,
+                   choices=("host", "host_async", "device"),
+                   help="PESQ label path: reference-faithful synchronous "
+                   "host scorer, overlapped host scorer (D one step "
+                   "stale), or fused on-device scorer")
     return p.parse_args(argv)
 
 
@@ -65,6 +70,7 @@ def main(argv=None):
             save_model_dir=args.save_model_dir,
             loss_weights=tuple(args.loss_weights),
             seed=args.seed,
+            pesq_label_mode=args.pesq_label_mode,
         ),
         mesh=MeshConfig(),
     )

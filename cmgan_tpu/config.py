@@ -95,6 +95,11 @@ class TrainConfig:
     pesq_norm_scale: float = 3.5
     # 'host': labels via the native C++ scorer (reference-faithful,
     #   synchronous device->host round trip per step);
+    # 'host_async': same exact scorer, but overlapped — labels for step
+    #   t are computed in a background thread while step t+1's generator
+    #   runs, and the D update lands one step late (SURVEY §7's planned
+    #   async mode; trades reference-exact ordering for removing the
+    #   per-step host sync from the critical path);
     # 'device': labels via the on-TPU batched scorer (pesq_jax) — the
     #   whole G+label+D step fuses into one XLA program.
     pesq_label_mode: str = "host"

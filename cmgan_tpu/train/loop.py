@@ -37,10 +37,10 @@ class Trainer:
         state: Optional[TrainState] = None,
         metrics_path: Optional[str] = None,
     ):
-        if cfg.train.pesq_label_mode not in ("host", "device"):
+        if cfg.train.pesq_label_mode not in ("host", "host_async", "device"):
             raise ValueError(
-                f"pesq_label_mode must be 'host' or 'device', "
-                f"got {cfg.train.pesq_label_mode!r}"
+                f"pesq_label_mode must be 'host', 'host_async' or "
+                f"'device', got {cfg.train.pesq_label_mode!r}"
             )
         self.cfg = cfg
         self.metrics_logger = None
@@ -62,6 +62,15 @@ class Trainer:
         if state is None:
             state = init_train_state(cfg, cfg.train.seed, steps_per_epoch, dtype=dtype)
         self.state = replicate_state(self.mesh, state)
+        self._label_pool = None
+        self._pending_d = None  # (handoff, scores_future) in host_async mode
+        if cfg.train.pesq_label_mode == "host_async":
+            from concurrent.futures import ThreadPoolExecutor
+
+            # one worker keeps label batches ordered; the thread's only
+            # job is the est_audio device fetch + the C++ PESQ batch, so
+            # more workers would just contend for the ctypes scorer
+            self._label_pool = ThreadPoolExecutor(max_workers=1)
 
     # ------------------------------------------------------------------
     def train_step(self, clean: np.ndarray, noisy: np.ndarray):
@@ -73,12 +82,32 @@ class Trainer:
         program with on-TPU labels — no host synchronization at all;
         steps are dispatched asynchronously and the loop only blocks
         when it fetches metrics at log_interval boundaries.
+        'host_async': exact host labels, but scored in a background
+        thread while the NEXT batch's generator step runs; the D update
+        for step t is applied during step t+1 (one step stale — the
+        overlapped variant SURVEY §7 plans behind a flag; the reference
+        itself is synchronous, src/train.py:176-205). The first step of
+        an epoch reports disc_loss 0.0; `drain_pending_d()` applies the
+        final deferred update.
         """
         clean_d, noisy_d = shard_batch(self.mesh, clean, noisy)
         if self.cfg.train.pesq_label_mode == "device":
             self.state, metrics, disc_loss = self.fused_step(
                 self.state, clean_d, noisy_d
             )
+            return metrics["gen_loss"], disc_loss
+        if self.cfg.train.pesq_label_mode == "host_async":
+            self.state, metrics, handoff = self.g_step(
+                self.state, clean_d, noisy_d
+            )
+            future = self._label_pool.submit(
+                lambda est_dev, c=clean: pesq_labels_host(
+                    c, np.asarray(est_dev)
+                ),
+                handoff["est_audio"],
+            )
+            disc_loss = self.drain_pending_d()
+            self._pending_d = (handoff, future)
             return metrics["gen_loss"], disc_loss
         self.state, metrics, handoff = self.g_step(self.state, clean_d, noisy_d)
         est_audio = np.asarray(handoff["est_audio"])
@@ -90,6 +119,25 @@ class Trainer:
             shard_batch(self.mesh, scores),
         )
         return metrics["gen_loss"], disc_loss
+
+    def drain_pending_d(self):
+        """Apply the deferred discriminator update (host_async mode).
+
+        Returns its disc loss as a device scalar, or 0.0 if nothing is
+        pending. Called automatically each step and at epoch end, so
+        every G step still gets exactly one matching D update.
+        """
+        if self._pending_d is None:
+            return 0.0
+        handoff, future = self._pending_d
+        self._pending_d = None
+        self.state, disc_loss = self.d_step(
+            self.state,
+            handoff["clean_mag"],
+            handoff["est_mag"],
+            shard_batch(self.mesh, future.result()),
+        )
+        return disc_loss
 
     def train_epoch(self, epoch: int):
         import time
@@ -139,6 +187,7 @@ class Trainer:
             pending.append((step, clean.shape[0], gen_dev, disc_dev))
             if step % interval == 0:
                 flush(step)
+        self.drain_pending_d()
         flush(step)
 
     def test(self) -> float:

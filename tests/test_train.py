@@ -252,3 +252,76 @@ def test_trainer_test_pass_with_partial_batch(tmp_path):
     trainer = Trainer(cfg, loader, test_loader=loader)
     loss = trainer.test()
     assert np.isfinite(loss)
+
+
+class _SizedLoader:
+    """len()-only stand-in when steps are driven manually."""
+
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+
+def _async_batch(seed=3):
+    rng = np.random.default_rng(seed)
+    clean = rng.standard_normal((8, 4000)).astype(np.float32) * 0.1
+    noisy = clean + rng.standard_normal((8, 4000)).astype(np.float32) * 0.05
+    return clean, noisy
+
+
+def test_host_async_one_step_matches_host():
+    """One step + drain must equal the synchronous host mode exactly:
+    same labels, same G and D updates — only WHEN the D update is
+    applied differs (overlapped SURVEY §7 mode)."""
+    import dataclasses as _dc
+
+    clean, noisy = _async_batch()
+    states = {}
+    for mode in ("host", "host_async"):
+        cfg = tiny_cfg()
+        cfg = CMGANConfig(
+            model=cfg.model,
+            train=_dc.replace(cfg.train, pesq_label_mode=mode),
+        )
+        t = Trainer(cfg, _SizedLoader())
+        t.train_step(clean, noisy)
+        t.drain_pending_d()
+        states[mode] = jax.device_get(t.state)
+    for a, b in zip(
+        jax.tree.leaves(states["host"]), jax.tree.leaves(states["host_async"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_host_async_defers_d_update_one_step():
+    """disc params must be untouched after step 1 (its D update is
+    pending) and move during step 2; first step reports disc_loss 0."""
+    import dataclasses as _dc
+
+    cfg = tiny_cfg()
+    cfg = CMGANConfig(
+        model=cfg.model,
+        train=_dc.replace(cfg.train, pesq_label_mode="host_async"),
+    )
+    t = Trainer(cfg, _SizedLoader())
+    d0 = jax.device_get(t.state.disc_params)
+    clean, noisy = _async_batch(seed=4)
+    _, disc_loss1 = t.train_step(clean, noisy)
+    assert t._pending_d is not None
+    d1 = jax.device_get(t.state.disc_params)
+    for a, b in zip(jax.tree.leaves(d0), jax.tree.leaves(d1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(jax.device_get(disc_loss1)) == 0.0
+    _, disc_loss2 = t.train_step(clean, noisy)
+    assert float(jax.device_get(disc_loss2)) > 0.0  # step-1 D update landed
+    d2 = jax.device_get(t.state.disc_params)
+    deltas = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        d1,
+        d2,
+    )
+    assert max(jax.tree.leaves(deltas)) > 0
+    t.drain_pending_d()  # step-2 update
+    assert t._pending_d is None
