@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cmgan_tpu.models.layers import Conv, Dense, LayerNorm, swish
+from cmgan_tpu.models.layers import Conv, Dense, swish
 
 
 class FeedForward(nn.Module):
@@ -156,7 +156,7 @@ class ConformerConvModule(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         inner = self.dim * self.expansion_factor
-        y = LayerNorm(epsilon=1e-5, name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         y = Conv(2 * inner, (1,), dtype=self.dtype, name="pw_in")(y)
         gate_in, gate = jnp.split(y, 2, axis=-1)
         y = gate_in * jax.nn.sigmoid(gate)
@@ -198,12 +198,12 @@ class ConformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        y = LayerNorm(epsilon=1e-5, name="ff1_norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ff1_norm")(x)
         x = x + 0.5 * FeedForward(
             self.dim, self.ff_mult, self.ff_dropout, dtype=self.dtype, name="ff1"
         )(y, train=train)
 
-        y = LayerNorm(epsilon=1e-5, name="attn_norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="attn_norm")(x)
         x = x + RelPosAttention(
             self.dim,
             heads=self.heads,
@@ -224,9 +224,9 @@ class ConformerBlock(nn.Module):
             name="conv",
         )(x, train=train)
 
-        y = LayerNorm(epsilon=1e-5, name="ff2_norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ff2_norm")(x)
         x = x + 0.5 * FeedForward(
             self.dim, self.ff_mult, self.ff_dropout, dtype=self.dtype, name="ff2"
         )(y, train=train)
 
-        return LayerNorm(epsilon=1e-5, name="post_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="post_norm")(x)

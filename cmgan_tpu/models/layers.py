@@ -97,29 +97,6 @@ class Dense(nn.Module):
         )(x)
 
 
-class LayerNorm(nn.Module):
-    """LayerNorm via the fused single-pass Pallas kernel on TPU.
-
-    Drop-in for nn.LayerNorm (same param names/init, fp32 statistics,
-    eps inside rsqrt) except the output keeps the INPUT dtype instead
-    of promoting to fp32 — in a bf16 model every consumer casts back
-    to bf16 anyway, and skipping the fp32 round trip is the point:
-    one HBM read + one write per norm (see ops/fused_norm.py).
-    Reference: the nn.LayerNorm wrappers in src/models/conformer.py.
-    """
-
-    epsilon: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x):
-        from cmgan_tpu.ops.fused_norm import fused_layernorm
-
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        return fused_layernorm(x, scale, bias, self.epsilon)
-
-
 class InstanceNorm(nn.Module):
     """InstanceNorm2d(affine=True) over channels-last feature maps.
 

@@ -1,23 +1,25 @@
-"""Single-pass fused LayerNorm kernel (Pallas/TPU).
+"""Single-pass fused LayerNorm kernel (Pallas/TPU) — NOT used by the
+models; kept as a documented negative result.
 
 The TS-conformer stack runs ~48 LayerNorms per forward over
 [B*F, T, 64]-scale tensors (reference: src/models/conformer.py:182-222
-wraps every sublayer in nn.LayerNorm). Under a bf16 model, flax's
-LayerNorm promotes the whole tensor to fp32 for the statistics and
-emits convert+reduce+normalize fusions that read the activation from
-HBM more than once — ~30-40 ms of the 2 s-batch-16 pipeline (measured,
-ROADMAP.md "Norm layers").
+wraps every sublayer in nn.LayerNorm). The hypothesis was that flax's
+fp32-promoting LayerNorm cost extra HBM passes in a bf16 model and a
+one-pass kernel would reclaim them. MEASURED on v5e (2026-08-17,
+bf16, bench shapes [1616,321,64] and [5136,101,64]): the kernel runs
+2.5-2.8 ms/norm vs 0.8-0.9 ms for the plain-XLA form — 3x SLOWER, and
+swapping it into the models dropped the end-to-end bench from ~155x to
+~89x realtime. Two reasons: (a) the feature axis is 64, so the mean/var
+reduction crosses half a 128-lane register — a cross-lane reduction the
+VPU does poorly, while XLA reassociates it; (b) `pallas_call` is a
+fusion barrier, so the norm stops fusing into its matmul neighbors.
+The models therefore use `nn.LayerNorm`; this kernel stays for shapes
+where it could win (feature dim >= 128-multiple, memory-bound rows)
+and as the measurement record.
 
-This kernel does the whole thing in one HBM pass per tensor: each grid
-step loads a block of rows into VMEM once, computes fp32 mean/variance
-over the feature axis in registers, normalizes, applies scale/bias, and
-stores in the input dtype. Numerics match flax exactly (fp32 stats,
-`use_fast_variance` E[x^2]-E[x]^2 form, eps inside rsqrt, fp32 affine).
-
-Training uses a custom VJP whose backward is plain XLA (the standard
-dx = rstd*(g - mean(g) - xhat*mean(g*xhat)) form with stats recomputed
-from the saved input): the forward/inference path is the hot one, and
-the XLA backward fuses into the surrounding gradient computation.
+Numerics match flax exactly (fp32 stats, `use_fast_variance`
+E[x^2]-E[x]^2 form, eps inside rsqrt, fp32 affine). Training uses a
+custom VJP whose backward is plain XLA.
 """
 
 from __future__ import annotations
