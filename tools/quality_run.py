@@ -192,7 +192,21 @@ def main():
         metrics_path=os.path.join(args.out, "metrics.jsonl"),
     )
 
-    def snapshot_eval(tag):
+    def snapshot_eval(tag, attempts=3):
+        # the remote-compile tunnel can transiently drop a response
+        # ("response body closed before all bytes were read"); don't let
+        # a flaky eval kill a multi-hour training run
+        for attempt in range(attempts):
+            try:
+                return _snapshot_eval(tag)
+            except Exception as exc:
+                if attempt == attempts - 1:
+                    raise
+                print(f"[eval {tag}] attempt {attempt + 1} failed: {exc!r}; "
+                      "retrying in 30 s", flush=True)
+                time.sleep(30)
+
+    def _snapshot_eval(tag):
         state = jax.device_get(trainer.state)
         variables = {"params": state.gen_params, "batch_stats": state.gen_stats}
         enh = Enhancer(cfg, variables)
