@@ -74,9 +74,11 @@ def bucket_pad(noisy: np.ndarray, hop: int, cut_len: int, bucket: int) -> np.nda
 class Enhancer:
     """Stateful wrapper holding jitted per-shape enhancement executables.
 
-    mesh: optional device mesh made ambient around every jitted call —
-    required when cfg.model.attention_impl == 'seq' (long-form time-axis
-    sharding over the mesh's `seq` axis, BASELINE config 5).
+    mesh: optional device mesh made ambient around every jitted call.
+    Batch rows are sharded over the mesh's `data` axis (SPMD multi-chip
+    batch inference; rows padded to the axis size with exact duplicate
+    rows). Required when cfg.model.attention_impl == 'seq' (long-form
+    time-axis sharding over the `seq` axis, BASELINE config 5).
     """
 
     def __init__(self, cfg: CMGANConfig, variables, dtype=None, mesh=None):
@@ -121,6 +123,23 @@ class Enhancer:
 
         def _enhance_batch(variables, segments):
             if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                # shard the row (batch) axis over `data` so multi-chip
+                # batch inference is SPMD, not replicated — pad rows to
+                # a multiple of the axis size (duplicate rows are exact
+                # in eval mode, see enhance_batch) and drop them after
+                n_data = dict(self.mesh.shape).get("data", 1)
+                pad = (-int(segments.shape[0])) % n_data
+                if pad:
+                    segments = jnp.concatenate(
+                        [segments, jnp.broadcast_to(
+                            segments[:1], (pad,) + segments.shape[1:])]
+                    )
+                if n_data > 1:
+                    segments = jax.device_put(
+                        segments, NamedSharding(self.mesh, PartitionSpec("data"))
+                    )
                 # Under a mesh, the FFT stages compile OUTSIDE the mesh
                 # context: the mesh only affects the model's seq-sharded
                 # attention, and XLA:CPU's fft thunk rejects the layouts
@@ -128,7 +147,8 @@ class Enhancer:
                 packed = _jit_front(segments)
                 with jax.sharding.set_mesh(self.mesh):
                     est_real, est_imag = _jit_model(variables, packed)
-                return _jit_back(est_real, est_imag)
+                out = _jit_back(est_real, est_imag)
+                return out[: out.shape[0] - pad] if pad else out
             return _jit_enhance_batch(variables, segments)
 
         self._enhance_batch = _enhance_batch

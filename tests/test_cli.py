@@ -39,3 +39,35 @@ def test_enhance_args():
     assert a.input == "a.wav" and a.output == "b.wav"
     with pytest.raises(SystemExit):
         enhance_args(["--input", "a.wav"])
+
+
+def test_load_variables_accepts_train_state_checkpoint(tmp_path):
+    """evaluate/enhance --model_path must accept BOTH an inference
+    {params, batch_stats} checkpoint and a full TrainState checkpoint
+    from Trainer.save_checkpoint (generator half extracted)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from cmgan_tpu.checkpoint import save_train_state
+    from cmgan_tpu.cli.evaluate import load_variables, parse_args
+    from cmgan_tpu.config import CMGANConfig, ModelConfig
+    from cmgan_tpu.train import init_train_state
+
+    cfg = CMGANConfig(
+        model=ModelConfig(
+            num_channels=8, num_tscb_blocks=1, dense_depth=2,
+            attn_heads=2, ndf=4,
+        )
+    )
+    state = init_train_state(cfg, seed=0, steps_per_epoch=10)
+    path = str(tmp_path / "full_state")
+    save_train_state(path, state)
+    args = parse_args(["--test_dir", "/unused", "--model_path", path])
+    variables = load_variables(cfg, args)
+    assert set(variables) == {"params", "batch_stats"}
+    a = jax.tree.leaves(state.gen_params)
+    b = jax.tree.leaves(variables["params"])
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))

@@ -66,3 +66,25 @@ def test_batch_matches_single(tiny_enhancer, rng):
     for t, b in zip(tracks, batched):
         single = enh.enhance(t, mode="bucket")
         np.testing.assert_allclose(b, single, atol=2e-5)
+
+
+def test_batch_data_sharded_matches_unsharded(tiny_enhancer, rng):
+    """Under a data mesh, enhance_batch shards rows over `data` (with
+    exact duplicate-row padding) and must reproduce the meshless
+    output, including for a track count not divisible by the mesh."""
+    from cmgan_tpu.parallel import make_mesh
+
+    cfg, enh = tiny_enhancer
+    model = TSCNet(cfg.model)
+    variables = enh.variables
+    mesh = make_mesh(devices=jax.devices())  # 8-way data axis
+    enh_mesh = Enhancer(cfg, variables, mesh=mesh)
+    tracks = [
+        (rng.standard_normal(n) * 0.1).astype(np.float32)
+        for n in (4000, 4000, 7000)  # 3 rows -> padded to 8
+    ]
+    base = enh.enhance_batch(tracks)
+    sharded = enh_mesh.enhance_batch(tracks)
+    for a, b in zip(base, sharded):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
