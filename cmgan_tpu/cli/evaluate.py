@@ -58,12 +58,12 @@ def load_variables(cfg, args):
     if args.model_path:
         from cmgan_tpu.checkpoint import restore_variables
 
-        raw = restore_variables(args.model_path)
+        raw = restore_variables(args.model_path)  # ONE read for either kind
         if isinstance(raw, dict) and "gen_params" in raw:
             # full TrainState checkpoint (Trainer.save_checkpoint):
             # evaluate its generator half directly
             return {"params": raw["gen_params"], "batch_stats": raw["gen_stats"]}
-        return restore_variables(args.model_path, jax.device_get(variables))
+        return raw
     return variables
 
 

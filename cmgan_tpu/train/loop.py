@@ -60,7 +60,14 @@ class Trainer:
             self.fused_step,
         ) = make_train_steps(cfg, steps_per_epoch, dtype=dtype)
         if state is None:
-            state = init_train_state(cfg, cfg.train.seed, steps_per_epoch, dtype=dtype)
+            with self._mesh_ctx():
+                # seq-sharded attention (attention_impl='seq') traces
+                # through shard_map at init (train=False), which needs
+                # the mesh ambient; data-parallel-only configs need no
+                # context here
+                state = init_train_state(
+                    cfg, cfg.train.seed, steps_per_epoch, dtype=dtype
+                )
         self.state = replicate_state(self.mesh, state)
         self._label_pool = None
         self._pending_d = None  # (handoff, scores_future) in host_async mode
@@ -73,6 +80,18 @@ class Trainer:
             self._label_pool = ThreadPoolExecutor(max_workers=1)
 
     # ------------------------------------------------------------------
+    def _mesh_ctx(self):
+        """Ambient-mesh context for model tracing: required whenever the
+        model's attention_impl is 'seq' (eval-mode forwards — init and
+        the test pass — shard the time axis over the mesh's `seq` axis;
+        train-mode forwards with dropout fall back to dense attention
+        but trace inside the same context harmlessly)."""
+        import contextlib
+
+        if self.cfg.model.attention_impl == "seq":
+            return jax.sharding.set_mesh(self.mesh)
+        return contextlib.nullcontext()
+
     def train_step(self, clean: np.ndarray, noisy: np.ndarray):
         """One GAN step; returns (gen_loss, disc_loss) as DEVICE scalars
         (not fetched — callers decide when to sync).
@@ -83,23 +102,32 @@ class Trainer:
         steps are dispatched asynchronously and the loop only blocks
         when it fetches metrics at log_interval boundaries.
         'host_async': exact host labels, but scored in a background
-        thread while the NEXT batch's generator step runs; the D update
-        for step t is applied during step t+1 (one step stale — the
-        overlapped variant SURVEY §7 plans behind a flag; the reference
-        itself is synchronous, src/train.py:176-205). The first step of
-        an epoch reports disc_loss 0.0; `drain_pending_d()` applies the
-        final deferred update.
+        thread while the device executes; the D update for step t is
+        applied during step t+1 (the generator sees D one step stale —
+        the overlapped variant SURVEY §7 plans behind a flag; the
+        reference itself is synchronous, src/train.py:176-205). The
+        deferred update replays the synchronous schedule exactly (same
+        StepLR epoch, same dropout stream) via the stashed post-G step.
+        Returns the PREVIOUS batch's disc loss, or None on the first
+        step of an epoch; `drain_pending_d()` applies the final deferred
+        update.
         """
         clean_d, noisy_d = shard_batch(self.mesh, clean, noisy)
         if self.cfg.train.pesq_label_mode == "device":
-            self.state, metrics, disc_loss = self.fused_step(
-                self.state, clean_d, noisy_d
-            )
+            with self._mesh_ctx():
+                self.state, metrics, disc_loss = self.fused_step(
+                    self.state, clean_d, noisy_d
+                )
             return metrics["gen_loss"], disc_loss
         if self.cfg.train.pesq_label_mode == "host_async":
-            self.state, metrics, handoff = self.g_step(
-                self.state, clean_d, noisy_d
-            )
+            with self._mesh_ctx():
+                self.state, metrics, handoff = self.g_step(
+                    self.state, clean_d, noisy_d
+                )
+            # + 0 copies into a fresh buffer: the state pytree (incl.
+            # .step) is donated to the next g_step, so a bare reference
+            # would be invalidated before the deferred d_step reads it
+            step_after_g = self.state.step + 0
             future = self._label_pool.submit(
                 lambda est_dev, c=clean: pesq_labels_host(
                     c, np.asarray(est_dev)
@@ -107,65 +135,78 @@ class Trainer:
                 handoff["est_audio"],
             )
             disc_loss = self.drain_pending_d()
-            self._pending_d = (handoff, future)
+            self._pending_d = (handoff, future, step_after_g)
             return metrics["gen_loss"], disc_loss
-        self.state, metrics, handoff = self.g_step(self.state, clean_d, noisy_d)
+        with self._mesh_ctx():
+            self.state, metrics, handoff = self.g_step(self.state, clean_d, noisy_d)
         est_audio = np.asarray(handoff["est_audio"])
         scores = pesq_labels_host(clean, est_audio)
-        self.state, disc_loss = self.d_step(
-            self.state,
-            handoff["clean_mag"],
-            handoff["est_mag"],
-            shard_batch(self.mesh, scores),
-        )
+        with self._mesh_ctx():
+            self.state, disc_loss = self.d_step(
+                self.state,
+                handoff["clean_mag"],
+                handoff["est_mag"],
+                shard_batch(self.mesh, scores),
+            )
         return metrics["gen_loss"], disc_loss
 
     def drain_pending_d(self):
         """Apply the deferred discriminator update (host_async mode).
 
-        Returns its disc loss as a device scalar, or 0.0 if nothing is
+        Returns its disc loss as a device scalar, or None if nothing is
         pending. Called automatically each step and at epoch end, so
-        every G step still gets exactly one matching D update.
+        every G step still gets exactly one matching D update, with the
+        schedule evaluated at the stashed post-G step (identical to the
+        synchronous order).
         """
         if self._pending_d is None:
-            return 0.0
-        handoff, future = self._pending_d
+            return None
+        handoff, future, at_step = self._pending_d
         self._pending_d = None
-        self.state, disc_loss = self.d_step(
-            self.state,
-            handoff["clean_mag"],
-            handoff["est_mag"],
-            shard_batch(self.mesh, future.result()),
-        )
+        with self._mesh_ctx():
+            self.state, disc_loss = self.d_step(
+                self.state,
+                handoff["clean_mag"],
+                handoff["est_mag"],
+                shard_batch(self.mesh, future.result()),
+                at_step,
+            )
         return disc_loss
 
     def train_epoch(self, epoch: int):
         import time
 
         interval = self.cfg.train.log_interval
-        pending = []  # (step_in_epoch, batch_rows, gen_dev, disc_dev)
+        async_mode = self.cfg.train.pesq_label_mode == "host_async"
+        pending = {}  # step_in_epoch -> {rows, gen, disc}
         flush_t0 = time.perf_counter()
         global_step0 = None
 
         def flush(step):
             # One blocking fetch for the whole window — the only host
-            # sync per log_interval steps in device-label mode.
+            # sync per log_interval steps in device-label mode. Only
+            # COMPLETE steps are fetched: in host_async mode a step's
+            # disc loss arrives one call later, so the window boundary
+            # step carries over to the next flush.
             nonlocal flush_t0
-            if not pending:
+            done = [s for s in sorted(pending) if "disc" in pending[s]]
+            if not done:
                 return
-            fetched = jax.device_get([(g, d) for _, _, g, d in pending])
+            fetched = jax.device_get(
+                [(pending[s]["gen"], pending[s]["disc"]) for s in done]
+            )
             elapsed = time.perf_counter() - flush_t0
             flush_t0 = time.perf_counter()
-            utt = sum(rows for _, rows, _, _ in pending)
+            utt = sum(pending[s]["rows"] for s in done)
             rate = utt / elapsed if elapsed > 0 else 0.0
             if self.metrics_logger is not None:
-                for (s, rows, _, _), (g, d) in zip(pending, fetched):
+                for s, (g, d) in zip(done, fetched):
                     self.metrics_logger.log(
                         global_step0 + s,
                         epoch=epoch,
                         gen_loss=float(g),
                         disc_loss=float(d),
-                        step_seconds=elapsed / len(pending),
+                        step_seconds=elapsed / len(done),
                     )
             gen_loss, disc_loss = fetched[-1]
             log.info(
@@ -176,7 +217,8 @@ class Trainer:
                 float(disc_loss),
                 rate,
             )
-            pending.clear()
+            for s in done:
+                del pending[s]
 
         step = 0
         for idx, (clean, noisy) in enumerate(self.train_loader):
@@ -184,10 +226,17 @@ class Trainer:
             if global_step0 is None:
                 global_step0 = int(jax.device_get(self.state.step))
             gen_dev, disc_dev = self.train_step(clean, noisy)
-            pending.append((step, clean.shape[0], gen_dev, disc_dev))
+            pending[step] = {"rows": clean.shape[0], "gen": gen_dev}
+            if async_mode:
+                if disc_dev is not None:  # belongs to the previous step
+                    pending[step - 1]["disc"] = disc_dev
+            else:
+                pending[step]["disc"] = disc_dev
             if step % interval == 0:
                 flush(step)
-        self.drain_pending_d()
+        final_disc = self.drain_pending_d()
+        if final_disc is not None:
+            pending[step]["disc"] = final_disc
         flush(step)
 
     def test(self) -> float:
@@ -210,14 +259,16 @@ class Trainer:
                 clean = np.concatenate([clean, np.tile(clean, (reps, 1))[:pad]])
                 noisy = np.concatenate([noisy, np.tile(noisy, (reps, 1))[:pad]])
             clean_d, noisy_d = shard_batch(self.mesh, clean, noisy)
-            metrics, handoff = self.test_fwd(self.state, clean_d, noisy_d)
+            with self._mesh_ctx():
+                metrics, handoff = self.test_fwd(self.state, clean_d, noisy_d)
             scores = pesq_labels_host(clean, np.asarray(handoff["est_audio"]))
-            disc_per_ex = self.test_disc_loss(
-                self.state,
-                handoff["clean_mag"],
-                handoff["est_mag"],
-                shard_batch(self.mesh, scores),
-            )
+            with self._mesh_ctx():
+                disc_per_ex = self.test_disc_loss(
+                    self.state,
+                    handoff["clean_mag"],
+                    handoff["est_mag"],
+                    shard_batch(self.mesh, scores),
+                )
             gen_per_ex = np.asarray(metrics["gen_loss_per_ex"])
             gen_total += float(np.sum(gen_per_ex[:real]))
             disc_total += float(np.sum(np.asarray(disc_per_ex)[:real]))

@@ -206,11 +206,18 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
         }
         return state, metrics, handoff
 
-    def _d_core(state: TrainState, clean_mag, est_mag, pesq_scores):
+    def _d_core(state: TrainState, clean_mag, est_mag, pesq_scores, at_step=None):
+        # at_step: the value state.step had right after THIS batch's G
+        # phase. Defaults to state.step (synchronous call order); the
+        # host_async mode applies this update after the NEXT batch's G
+        # phase has advanced state.step, and passes the stashed value so
+        # the StepLR epoch and the dropout stream match the synchronous
+        # schedule exactly.
+        step_now = state.step if at_step is None else at_step
         valid = jnp.min(pesq_scores) >= 0.0
         labels = (pesq_scores - cfg.train.pesq_norm_offset) / cfg.train.pesq_norm_scale
         dropout_rng = jax.random.fold_in(
-            jax.random.fold_in(jax.random.wrap_key_data(state.rng), state.step), 1
+            jax.random.fold_in(jax.random.wrap_key_data(state.rng), step_now), 1
         )
 
         def loss_fn(disc_params):
@@ -243,11 +250,11 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
                 grads, state.disc_opt, state.disc_params
             )
             # disc_tx runs at unit LR; scale by the epoch-keyed StepLR on
-            # the shared global step (state.step was already advanced by
-            # the G phase, so this batch's step is state.step - 1) so
-            # skipped batches don't stall the decay (reference
-            # src/train.py:248-253 steps both schedulers per epoch).
-            lr = disc_lr(state.step - 1)
+            # the shared global step (step_now is the post-G value, so
+            # this batch's step is step_now - 1) so skipped batches don't
+            # stall the decay (reference src/train.py:248-253 steps both
+            # schedulers per epoch).
+            lr = disc_lr(step_now - 1)
             updates = jax.tree.map(lambda u: u * lr, updates)
             new_params = optax.apply_updates(state.disc_params, updates)
             return new_params, new_opt, new_stats

@@ -160,3 +160,43 @@ def test_enhancer_seq_sharded_long_form(rng):
     sharded = Enhancer(cfg_seq, variables, mesh=mesh).enhance(track, mode="exact")
     assert base.shape == sharded.shape == track.shape
     np.testing.assert_allclose(base, sharded, atol=5e-5, rtol=1e-4)
+
+
+def test_trainer_constructs_and_steps_with_seq_config():
+    """Trainer with attention_impl='seq' (long_form seq_parallel knob)
+    must init, train-step and eval without a crash: init and eval-mode
+    forwards take the seq-sharded path, so the Trainer has to make its
+    mesh ambient around them (regression: round-2 review found init
+    raised 'no ambient mesh with a seq axis')."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from cmgan_tpu.config import CMGANConfig, MeshConfig, ModelConfig, TrainConfig
+    from cmgan_tpu.train import Trainer
+
+    cfg = CMGANConfig(
+        model=ModelConfig(
+            num_channels=8,
+            num_tscb_blocks=1,
+            dense_depth=2,
+            attn_heads=2,
+            attention_impl="seq",
+        ),
+        train=dataclasses.replace(TrainConfig(), batch_size=2, cut_len=4000),
+        mesh=MeshConfig(seq_parallel=4),
+    )
+
+    class _Sized:
+        def __len__(self):
+            return 4
+
+    t = Trainer(cfg, _Sized())
+    assert dict(t.mesh.shape) == {"data": 2, "seq": 4}
+    rng = np.random.default_rng(0)
+    clean = (rng.standard_normal((2, 4000)) * 0.1).astype(np.float32)
+    noisy = clean + (rng.standard_normal((2, 4000)) * 0.05).astype(np.float32)
+    gen_loss, disc_loss = t.train_step(clean, noisy)
+    assert np.isfinite(float(jax.device_get(gen_loss)))
+    assert np.isfinite(float(jax.device_get(disc_loss)))

@@ -297,7 +297,8 @@ def test_host_async_one_step_matches_host():
 
 def test_host_async_defers_d_update_one_step():
     """disc params must be untouched after step 1 (its D update is
-    pending) and move during step 2; first step reports disc_loss 0."""
+    pending) and move during step 2; the first step returns None for
+    the disc loss (nothing was pending yet)."""
     import dataclasses as _dc
 
     cfg = tiny_cfg()
@@ -313,9 +314,10 @@ def test_host_async_defers_d_update_one_step():
     d1 = jax.device_get(t.state.disc_params)
     for a, b in zip(jax.tree.leaves(d0), jax.tree.leaves(d1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert float(jax.device_get(disc_loss1)) == 0.0
+    assert disc_loss1 is None
     _, disc_loss2 = t.train_step(clean, noisy)
-    assert float(jax.device_get(disc_loss2)) > 0.0  # step-1 D update landed
+    # step-1's D update landed (its loss, computed sync-identically)
+    assert float(jax.device_get(disc_loss2)) > 0.0
     d2 = jax.device_get(t.state.disc_params)
     deltas = jax.tree.map(
         lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
@@ -323,5 +325,52 @@ def test_host_async_defers_d_update_one_step():
         d2,
     )
     assert max(jax.tree.leaves(deltas)) > 0
-    t.drain_pending_d()  # step-2 update
+    assert t.drain_pending_d() is not None  # step-2 update
     assert t._pending_d is None
+    assert t.drain_pending_d() is None
+
+
+def test_deferred_d_step_replays_sync_schedule():
+    """d_step with an explicit at_step must reproduce the synchronous
+    call bit-for-bit even when state.step has since advanced (the
+    host_async deferral): same StepLR epoch, same dropout stream."""
+    cfg = tiny_cfg()
+    mesh = make_mesh(cfg.mesh)
+    g_step, d_step, *_ = make_train_steps(cfg, steps_per_epoch=10)
+
+    rng = np.random.default_rng(7)
+    clean = rng.standard_normal((8, 4000)).astype(np.float32) * 0.1
+    noisy = clean + rng.standard_normal((8, 4000)).astype(np.float32) * 0.05
+    from cmgan_tpu.parallel import shard_batch as _shard
+
+    clean_d, noisy_d = _shard(mesh, clean, noisy)
+    base = jax.device_get(
+        init_train_state(cfg, seed=0, steps_per_epoch=10)
+    )
+
+    def run(extra_g_advance):
+        import jax.numpy as jnp
+
+        from cmgan_tpu.parallel import replicate_state
+
+        st = replicate_state(mesh, base)
+        st, _, handoff = g_step(st, clean_d, noisy_d)
+        at_step = st.step + 0
+        if extra_g_advance:
+            # pretend the NEXT batch's G phase already ran (host_async):
+            # only the step counter matters for the schedule/dropout
+            st = st.replace(step=st.step + 1)
+        st, disc_loss = d_step(
+            st,
+            handoff["clean_mag"],
+            handoff["est_mag"],
+            _shard(mesh, np.full(8, 2.5, np.float32)),
+            at_step if extra_g_advance else None,
+        )
+        return jax.device_get(st.disc_params), float(jax.device_get(disc_loss))
+
+    sync_params, sync_loss = run(False)
+    defer_params, defer_loss = run(True)
+    assert sync_loss == defer_loss
+    for a, b in zip(jax.tree.leaves(sync_params), jax.tree.leaves(defer_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

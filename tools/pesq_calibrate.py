@@ -130,7 +130,10 @@ def main():
     loo = []
     for i in range(len(names)):
         keep = np.delete(np.arange(len(names)), i)
-        pi = fit(d[keep], da[keep], mos[keep], x0=p)
+        # full multi-start fit per fold: warm-starting from the
+        # full-data optimum (x0=p) would leak the held-out anchor into
+        # the fold's fit and flatter the LOO estimate
+        pi = fit(d[keep], da[keep], mos[keep])
         loo.append(abs(mos_map(raw_fn(pi, d[i : i + 1], da[i : i + 1]))[0] - mos[i]))
     print(f"LOO  MAE={np.mean(loo):.3f} max={np.max(loo):.3f}")
 
