@@ -17,6 +17,9 @@ Two length-handling modes:
            variable-length test tracks hit a handful of compiled shapes.
            Not bit-identical (the conformer attends over the extra tail
            frames) but metric-neutral; default for TPU throughput.
+           Measured on the round-2 TRAINED checkpoint over the held-out
+           tracks (QUALITY_r02.md): bucket vs exact is -0.0045 PESQ /
+           -0.011 dB SSNR / -0.003 CSIG — well under run-to-run noise.
 """
 
 from __future__ import annotations
