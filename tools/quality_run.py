@@ -153,6 +153,13 @@ def main():
     import dataclasses
 
     import jax
+
+    # persistent compile cache (see bench.py): warm relaunches skip the
+    # multi-minute remote compiles of the train/eval programs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"),
+    )
     import jax.numpy as jnp
 
     from cmgan_tpu.config import CMGANConfig, TrainConfig
