@@ -38,7 +38,10 @@ def build(src_dir: str, out_dir: str, per_clean: int = 20, seed: int = 0):
     count = 0
     for i, (name, clean) in enumerate(cleans):
         others = [j for j in range(len(residuals)) if j != i]
-        picks = rng.choice(others, size=min(per_clean, len(others)), replace=False)
+        # with replacement once per_clean exceeds the residual pool:
+        # every pick draws a fresh offset and gain, so repeats of the
+        # same residual are still distinct mixtures
+        picks = rng.choice(others, size=per_clean, replace=per_clean > len(others))
         for j in picks:
             noise = residuals[j]
             # tile/crop the residual to the clean length, random offset

@@ -148,6 +148,9 @@ def main():
     # epoch-keyed decay would fire ~30x too often; 900 epochs here ==
     # the reference's decay position in STEPS.
     ap.add_argument("--decay_epochs", type=int, default=900)
+    ap.add_argument("--resume", type=str, default=None,
+                    help="full TrainState checkpoint to continue from "
+                    "(e.g. a previous quality run's ckpt)")
     args = ap.parse_args()
 
     import dataclasses
@@ -198,6 +201,16 @@ def main():
         dtype=jnp.bfloat16 if args.bf16 else None,
         metrics_path=os.path.join(args.out, "metrics.jsonl"),
     )
+    if args.resume:
+        from cmgan_tpu.checkpoint import restore_train_state
+        from cmgan_tpu.parallel import replicate_state
+
+        trainer.state = replicate_state(
+            trainer.mesh,
+            restore_train_state(args.resume, jax.device_get(trainer.state)),
+        )
+        print(f"resumed from {args.resume} at step "
+              f"{int(jax.device_get(trainer.state.step))}", flush=True)
 
     def snapshot_eval(tag, attempts=3):
         # the remote-compile tunnel can transiently drop a response
