@@ -1,0 +1,52 @@
+"""Round-2 quality tooling: report summarizer over run artifacts."""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.quality_report import ab_table, eval_table, loss_summary  # noqa: E402
+
+
+def _write_run(tmp_path, name, steps_pesq):
+    d = tmp_path / name
+    os.makedirs(d)
+    with open(d / "eval.jsonl", "w") as fh:
+        for step, pesq in steps_pesq:
+            rec = {
+                "tag": f"s{step}", "step": step, "time": 0.0,
+                "agg": {
+                    "enh": {k: pesq for k in
+                            ("pesq", "csig", "cbak", "covl", "ssnr", "stoi")},
+                    "noisy": {k: 2.4 for k in
+                              ("pesq", "csig", "cbak", "covl", "ssnr", "stoi")},
+                },
+                "rows": [],
+                "disc_corr": {"pearson_r": 0.9, "n": 20,
+                              "pred_mean": 0.4, "true_mean": 0.5},
+            }
+            fh.write(json.dumps(rec) + "\n")
+    with open(d / "metrics.jsonl", "w") as fh:
+        for s in range(1, 11):
+            fh.write(json.dumps({"step": s, "gen_loss": 0.2, "disc_loss": 0.01,
+                                 "epoch": 0, "time": 0.0}) + "\n")
+    return str(d)
+
+
+def test_eval_and_loss_tables(tmp_path):
+    d = _write_run(tmp_path, "a", [(0, 1.1), (100, 2.5)])
+    t = eval_table(d)
+    assert "| 100 | 2.500 |" in t and "noisy floor | 2.400" in t
+    ls = loss_summary(d, window=5)
+    assert "| 1–5 | 0.2000 | 0.0100 |" in ls
+
+
+def test_ab_table_matches_common_steps_only(tmp_path):
+    a = _write_run(tmp_path, "a", [(0, 1.0), (100, 2.0), (200, 2.2)])
+    b = _write_run(tmp_path, "b", [(0, 1.0), (100, 1.9)])
+    t = ab_table([a, b])
+    assert "| 100 | 2.000 | 1.900 |" in t
+    assert "200" not in t  # not common to both runs
