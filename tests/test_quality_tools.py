@@ -50,3 +50,27 @@ def test_ab_table_matches_common_steps_only(tmp_path):
     t = ab_table([a, b])
     assert "| 100 | 2.000 | 1.900 |" in t
     assert "200" not in t  # not common to both runs
+
+
+def test_aug_builder_scales_past_residual_pool(tmp_path):
+    """per_clean above the pool size samples residuals with
+    replacement (fresh offset/gain per pick) instead of capping."""
+    import sys as _sys
+
+    from cmgan_tpu.data import write_wav
+    from tools.make_aug_dataset import build
+
+    src = tmp_path / "src"
+    for sub in ("clean", "noisy"):
+        os.makedirs(src / sub)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        c = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+        write_wav(str(src / "clean" / f"p{i}_1.wav"), c, 16000)
+        write_wav(str(src / "noisy" / f"p{i}_1.wav"), c + 0.01, 16000)
+
+    out = tmp_path / "out"
+    build(str(src), str(out), per_clean=5, seed=0)  # pool is only 2/clean
+    names = os.listdir(out / "clean")
+    assert len(names) == 15  # 3 cleans x 5 picks, not capped at 3 x 2
+    assert len(os.listdir(out / "noisy")) == 15
