@@ -144,3 +144,55 @@ def test_export_matches_torch_reference_evaluation(torch_ref):
     np.testing.assert_allclose(
         np.asarray(imag_j), imag_t.numpy()[:, 0], atol=2e-4, rtol=1e-3
     )
+
+
+def test_trained_artifact_exports_to_torch_faithfully(torch_ref):
+    """The committed round-2 TRAINED generator (reports/) must export to
+    the reference state_dict layout and reproduce our outputs through
+    the reference's own torch code on a real noisy crop — a CMGAN user
+    can carry a model trained here back to the reference stack."""
+    import jax.numpy as jnp
+    import torch
+
+    from cmgan_tpu.checkpoint import restore_variables
+    from cmgan_tpu.checkpoint.torch_import import export_generator_state_dict
+    from cmgan_tpu.config import CMGANConfig
+    from cmgan_tpu.data import read_wav
+    from cmgan_tpu.dsp import power_compress, stft
+    from cmgan_tpu.models import TSCNet
+
+    art = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "reports", "trained_generator_r02")
+    if not os.path.isdir(art):
+        pytest.skip("trained artifact absent")
+
+    cfg = CMGANConfig()
+    variables = restore_variables(art)
+    model = TSCNet(cfg.model)
+
+    wav, _ = read_wav("/root/reference/AudioSamples/noisy/p232_005.wav")
+    x = wav[0, : 16000].astype(np.float32)[None]
+    c = np.sqrt(x.size / float(np.sum(x * x)))
+    packed = np.asarray(
+        power_compress(stft(jnp.asarray(x * c), cfg.dsp.n_fft, cfg.dsp.hop))
+    )
+
+    real_j, imag_j = model.apply(variables, jnp.asarray(packed), train=False)
+
+    tmodel = torch_ref(num_channel=64, num_features=201)
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_generator_state_dict(variables).items()
+    }
+    tmodel.load_state_dict(sd)
+    tmodel.eval()
+    with torch.no_grad():
+        real_t, imag_t = tmodel(
+            torch.from_numpy(packed.transpose(0, 3, 1, 2).copy())
+        )
+    np.testing.assert_allclose(
+        np.asarray(real_j), real_t.numpy()[:, 0], atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(imag_j), imag_t.numpy()[:, 0], atol=2e-4, rtol=1e-3
+    )
