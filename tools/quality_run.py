@@ -226,12 +226,23 @@ def main():
                       "retrying in 30 s", flush=True)
                 time.sleep(30)
 
+    best_pesq = [-1.0]
+
     def _snapshot_eval(tag):
         state = jax.device_get(trainer.state)
         variables = {"params": state.gen_params, "batch_stats": state.gen_stats}
         enh = Enhancer(cfg, variables)
         rows, agg = eval_holdout(enh, args.out)
         corr = disc_pesq_correlation(trainer, args.out, cfg)
+        if agg["enh"]["pesq"] > best_pesq[0]:
+            # rolling best checkpoint (fixed path, overwritten): an
+            # interrupted run keeps its best resumable TrainState
+            best_pesq[0] = agg["enh"]["pesq"]
+            from cmgan_tpu.checkpoint import save_train_state
+
+            save_train_state(
+                os.path.join(args.out, "ckpt_best"), trainer.state
+            )
         rec = {"tag": tag, "step": int(state.step), "time": time.time(),
                "agg": agg, "rows": rows, "disc_corr": corr}
         with open(os.path.join(args.out, "eval.jsonl"), "a") as fh:
