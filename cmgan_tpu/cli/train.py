@@ -43,6 +43,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="PESQ label path: reference-faithful synchronous "
                    "host scorer, overlapped host scorer (D one step "
                    "stale), or fused on-device scorer")
+    p.add_argument("--time_loss_domain", type=str, default=d.time_loss_domain,
+                   choices=("reference", "normalized"),
+                   help="time-L1 target: raw clean (reference quirk, "
+                   "suppresses output gain) or clean*c (gain-consistent)")
     return p.parse_args(argv)
 
 
@@ -71,6 +75,7 @@ def main(argv=None):
             loss_weights=tuple(args.loss_weights),
             seed=args.seed,
             pesq_label_mode=args.pesq_label_mode,
+            time_loss_domain=args.time_loss_domain,
         ),
         mesh=MeshConfig(),
     )

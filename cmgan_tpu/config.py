@@ -24,6 +24,12 @@ class DSPConfig:
     n_fft: int = 400
     hop: int = 100
     compress_exponent: float = 0.3
+    # 'fft': jnp.fft.{r,ir}fft HLO; 'matmul': DFT as two MXU matmuls
+    # (dsp/stft.py rdft_matmul). 'matmul' is required for seq-sharded
+    # TRAINING: XLA:CPU's fft thunk rejects the layouts shard_map picks
+    # when both live in one compiled module, and the CPU path is what
+    # tests and the driver's multi-chip dryrun execute.
+    dft_impl: str = "fft"
 
     @property
     def num_freqs(self) -> int:
@@ -103,6 +109,16 @@ class TrainConfig:
     # 'device': labels via the on-TPU batched scorer (pesq_jax) — the
     #   whole G+label+D step fuses into one XLA program.
     pesq_label_mode: str = "host"
+    # Time-domain L1 loss target. 'reference' preserves the reference
+    # quirk (src/train.py:140-141,190: est_audio lives in the
+    # RMS-normalized domain but generator_outputs["clean"] is the RAW
+    # batch waveform, so with c = sqrt(L/sum(noisy^2)) >> 1 the L1 term
+    # drags the output gain toward 1/c of the true target — measured on
+    # the round-2 checkpoint as a 2.36x output attenuation costing
+    # ~4.5 dB of speech-frame segSNR, tools/diagnose_ssnr.py).
+    # 'normalized' compares est_audio against clean * c, gain-consistent
+    # with the mag/RI spectral terms.
+    time_loss_domain: str = "reference"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,7 +171,10 @@ def long_form_48k(
     time axis over the `seq` mesh axis (ops/seq_attention.py) when a
     single window exceeds one chip's budget.
     """
-    dsp = DSPConfig(sample_rate=48_000, n_fft=1200, hop=300)
+    dsp = DSPConfig(
+        sample_rate=48_000, n_fft=1200, hop=300,
+        dft_impl="matmul" if seq_parallel > 1 else "fft",
+    )
     model = ModelConfig(
         num_channels=num_channels,
         num_features=dsp.num_freqs,

@@ -17,7 +17,12 @@ CPU labeling, src/train.py:176-205):
 Reference quirks preserved deliberately: the time-domain L1 loss and
 the PESQ labels compare the *normalized-domain* est_audio against the
 *unnormalized* clean waveform (reference train.py:140-141,155-157 —
-the normalization at train.py:75-79 rebinds locals only).
+the normalization at train.py:75-79 rebinds locals only). The time-loss
+side of the quirk measurably suppresses output gain (2.36x attenuation
+on the round-2 checkpoint, tools/diagnose_ssnr.py); set
+TrainConfig.time_loss_domain='normalized' to target clean * c instead.
+The PESQ-label side is harmless (PESQ level-aligns internally) and is
+always kept.
 """
 
 from __future__ import annotations
@@ -65,8 +70,12 @@ def _generator_forward(gen: TSCNet, variables, clean, noisy, cfg: CMGANConfig,
     noisy_n = noisy * c
     clean_n = clean * c
 
-    noisy_spec = power_compress(stft(noisy_n, dsp.n_fft, dsp.hop))
-    clean_spec = power_compress(stft(clean_n, dsp.n_fft, dsp.hop))
+    noisy_spec = power_compress(
+        stft(noisy_n, dsp.n_fft, dsp.hop, dft_impl=dsp.dft_impl)
+    )
+    clean_spec = power_compress(
+        stft(clean_n, dsp.n_fft, dsp.hop, dft_impl=dsp.dft_impl)
+    )
     clean_real = clean_spec[..., 0]
     clean_imag = clean_spec[..., 1]
     clean_mag = jnp.sqrt(clean_real**2 + clean_imag**2)
@@ -86,7 +95,8 @@ def _generator_forward(gen: TSCNet, variables, clean, noisy, cfg: CMGANConfig,
 
     est_mag = jnp.sqrt(est_real**2 + est_imag**2)
     est_audio = istft(
-        power_uncompress(est_real, est_imag), dsp.n_fft, dsp.hop
+        power_uncompress(est_real, est_imag), dsp.n_fft, dsp.hop,
+        dft_impl=dsp.dft_impl,
     )
 
     return {
@@ -97,6 +107,7 @@ def _generator_forward(gen: TSCNet, variables, clean, noisy, cfg: CMGANConfig,
         "clean_imag": clean_imag,
         "clean_mag": clean_mag,
         "est_audio": est_audio,
+        "clean_audio_n": clean_n,
         "new_stats": new_stats,
     }
 
@@ -105,7 +116,7 @@ def _generator_loss(
     disc: MetricDiscriminator,
     disc_vars,
     out,
-    clean,
+    time_target,
     weights,
     train: bool = False,
     dropout_rng=None,
@@ -142,7 +153,7 @@ def _generator_loss(
     loss_ri = per_ex((out["est_real"] - out["clean_real"]) ** 2) + per_ex(
         (out["est_imag"] - out["clean_imag"]) ** 2
     )
-    time_loss = per_ex(jnp.abs(out["est_audio"] - clean))
+    time_loss = per_ex(jnp.abs(out["est_audio"] - time_target))
     total = w_ri * loss_ri + w_mag * loss_mag + w_time * time_loss + w_gan * gan_loss
     parts = {
         "loss_ri": jnp.mean(loss_ri),
@@ -160,6 +171,12 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
     gen_tx, disc_tx = make_optimizers(cfg, steps_per_epoch)
     disc_lr = make_disc_lr_schedule(cfg, steps_per_epoch)
     weights = cfg.train.loss_weights
+    time_norm = cfg.train.time_loss_domain == "normalized"
+
+    def _time_target(out, clean):
+        # see TrainConfig.time_loss_domain: raw clean reproduces the
+        # reference's gain-suppressing quirk; clean_audio_n fixes it
+        return out["clean_audio_n"] if time_norm else clean
 
     def _g_core(state: TrainState, clean, noisy):
         base_rng = jax.random.wrap_key_data(state.rng)
@@ -181,7 +198,8 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
                 "batch_stats": state.disc_stats,
             }
             total, _, parts, disc_stats = _generator_loss(
-                disc, disc_vars, out, clean, weights, train=True, dropout_rng=disc_rng
+                disc, disc_vars, out, _time_target(out, clean), weights,
+                train=True, dropout_rng=disc_rng,
             )
             return total, (out, parts, disc_stats)
 
@@ -303,7 +321,7 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
         )
         disc_vars = {"params": state.disc_params, "batch_stats": state.disc_stats}
         total, total_per_ex, parts, _ = _generator_loss(
-            disc, disc_vars, out, clean, weights
+            disc, disc_vars, out, _time_target(out, clean), weights
         )
         metrics = dict(parts, gen_loss=total, gen_loss_per_ex=total_per_ex)
         handoff = {

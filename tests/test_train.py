@@ -374,3 +374,34 @@ def test_deferred_d_step_replays_sync_schedule():
     assert sync_loss == defer_loss
     for a, b in zip(jax.tree.leaves(sync_params), jax.tree.leaves(defer_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_time_loss_domain_flag():
+    """time_loss_domain='normalized' targets clean*c; 'reference' targets
+    the raw clean (the reference's gain-suppressing quirk,
+    src/train.py:140-141,190). Pin both against host-side recomputation."""
+    from cmgan_tpu.train import init_train_state
+
+    rng = np.random.default_rng(1)
+    # scale down so c = sqrt(L/sum(noisy^2)) is large, like real speech
+    clean = rng.standard_normal((2, 4000)).astype(np.float32) * 0.05
+    noisy = clean + rng.standard_normal((2, 4000)).astype(np.float32) * 0.02
+
+    losses = {}
+    for domain in ("reference", "normalized"):
+        cfg = tiny_cfg(batch_size=2)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, time_loss_domain=domain)
+        )
+        _, _, test_fwd, _, _ = make_train_steps(cfg, steps_per_epoch=10)
+        state = init_train_state(cfg, seed=0, steps_per_epoch=10)
+        metrics, handoff = test_fwd(state, jnp.asarray(clean), jnp.asarray(noisy))
+        est = np.asarray(handoff["est_audio"])
+        c = np.sqrt(clean.shape[-1] / np.sum(noisy * noisy, axis=-1, keepdims=True))
+        target = clean * c if domain == "normalized" else clean
+        expected = float(np.mean(np.abs(est - target)))
+        got = float(metrics["loss_time"])
+        assert got == pytest.approx(expected, rel=1e-4), domain
+        losses[domain] = got
+    # identical weights/inputs, so the two targets must give different losses
+    assert losses["reference"] != pytest.approx(losses["normalized"], rel=1e-3)

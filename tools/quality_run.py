@@ -151,6 +151,12 @@ def main():
     ap.add_argument("--resume", type=str, default=None,
                     help="full TrainState checkpoint to continue from "
                     "(e.g. a previous quality run's ckpt)")
+    ap.add_argument("--time_loss_domain", type=str, default="reference",
+                    choices=("reference", "normalized"),
+                    help="time-L1 target domain (see TrainConfig)")
+    ap.add_argument("--data_from", type=str, default=None,
+                    help="reuse train/eval dirs from a previous run dir "
+                    "(symlinked) instead of building a corpus")
     args = ap.parse_args()
 
     import dataclasses
@@ -171,6 +177,11 @@ def main():
     from cmgan_tpu.train import Trainer
 
     os.makedirs(args.out, exist_ok=True)
+    if args.data_from:
+        for sub in ("train", "eval"):
+            dst = os.path.join(args.out, sub)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(os.path.abspath(args.data_from), sub), dst)
     if not os.path.isdir(os.path.join(args.out, "train", "clean")):
         build_split(args.out, per_clean=args.per_clean, seed=args.seed)
 
@@ -183,6 +194,7 @@ def main():
             log_interval=50,
             seed=args.seed,
             decay_epochs=args.decay_epochs,
+            time_loss_domain=args.time_loss_domain,
         ),
     )
     if args.remat:
@@ -226,7 +238,18 @@ def main():
                       "retrying in 30 s", flush=True)
                 time.sleep(30)
 
+    # seed the rolling best from any evals already in this out dir, so a
+    # --resume relaunch can't overwrite a better ckpt_best with a worse
+    # first eval (round-2 advisor finding)
     best_pesq = [-1.0]
+    eval_path = os.path.join(args.out, "eval.jsonl")
+    if os.path.exists(eval_path):
+        with open(eval_path) as fh:
+            prior = [json.loads(ln) for ln in fh if ln.strip()]
+        if prior:
+            best_pesq[0] = max(r["agg"]["enh"]["pesq"] for r in prior)
+            print(f"seeded best_pesq={best_pesq[0]:.3f} from prior evals",
+                  flush=True)
 
     def _snapshot_eval(tag):
         state = jax.device_get(trainer.state)
