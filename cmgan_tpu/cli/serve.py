@@ -35,26 +35,44 @@ import numpy as np
 log = logging.getLogger("cmgan_tpu.serve")
 
 _LEN = struct.Struct("<I")
+# per-frame cap: 16 MiB = ~4 min of float32 @ 16 kHz per frame, far
+# above any sane streaming block, far below a memory-exhaustion header
+MAX_FRAME_BYTES = 16 << 20
+
+
+class ProtocolError(ValueError):
+    pass
 
 
 def _recv_exact(sock, n: int) -> bytes | None:
-    buf = b""
-    while len(buf) < n:
-        part = sock.recv(n - len(buf))
+    parts = []
+    got = 0
+    while got < n:
+        part = sock.recv(n - got)
         if not part:
             return None
-        buf += part
-    return buf
+        parts.append(part)
+        got += len(part)
+    return b"".join(parts)
 
 
 def recv_frame(sock) -> bytes | None:
-    """None on EOF; b'' is a valid (flush/end) frame."""
+    """None on EOF; b'' is a valid (flush/end) frame.
+
+    Raises ProtocolError on a hostile/corrupt header: length over
+    MAX_FRAME_BYTES (a 4-byte header can demand a ~4 GiB allocation) or
+    not a whole number of float32 samples.
+    """
     header = _recv_exact(sock, _LEN.size)
     if header is None:
         return None
     (n,) = _LEN.unpack(header)
     if n == 0:
         return b""
+    if n > MAX_FRAME_BYTES:
+        raise ProtocolError(f"frame of {n} bytes exceeds cap {MAX_FRAME_BYTES}")
+    if n % 4:
+        raise ProtocolError(f"frame length {n} is not a multiple of 4")
     return _recv_exact(sock, n)
 
 
@@ -77,7 +95,11 @@ class _Handler(socketserver.BaseRequestHandler):
         log.info("stream from %s (latency %d samples)",
                  self.client_address, enh.latency_samples)
         while True:
-            frame = recv_frame(self.request)
+            try:
+                frame = recv_frame(self.request)
+            except ProtocolError as exc:
+                log.warning("dropping %s: %s", self.client_address, exc)
+                return
             if frame is None:  # client vanished
                 return
             if frame == b"":
@@ -161,6 +183,17 @@ def parse_args(argv=None):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
+
+    import os
+
+    import jax
+
+    # persistent compile cache (as bench.py/quality_run.py): a server
+    # restart must not pay the multi-minute remote compile again
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"),
+    )
 
     from cmgan_tpu.cli.evaluate import load_variables
     from cmgan_tpu.config import CMGANConfig

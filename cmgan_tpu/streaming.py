@@ -29,6 +29,38 @@ from cmgan_tpu.config import CMGANConfig
 from cmgan_tpu.dsp import istft, power_compress, power_uncompress, stft
 from cmgan_tpu.models import TSCNet
 
+# One jitted window program per (model config, dsp config, dtype),
+# shared across ALL StreamingEnhancer instances: a per-instance closure
+# would re-trace (and on a cold persistent cache, re-compile — minutes
+# through the TPU remote-compile tunnel) for every new instance, e.g.
+# per TCP connection in cli/serve.py (round-2 advisor finding).
+_SHARED_WINDOW_FNS: dict = {}
+
+
+def _window_fn(cfg: CMGANConfig, dtype):
+    key = (cfg.model, cfg.dsp, dtype)
+    fn = _SHARED_WINDOW_FNS.get(key)
+    if fn is None:
+        dsp = cfg.dsp
+        model = TSCNet(cfg.model, dtype=dtype)
+
+        @jax.jit
+        def fn(variables, windows, c):
+            # windows: [S, window], c: [S] per-stream level scales
+            x = windows * c[:, None]
+            spec = stft(x, dsp.n_fft, dsp.hop)
+            packed = power_compress(spec, exponent=dsp.compress_exponent)
+            est_real, est_imag = model.apply(variables, packed, train=False)
+            est = power_uncompress(
+                est_real.astype(jnp.float32),
+                est_imag.astype(jnp.float32),
+                exponent=dsp.compress_exponent,
+            )
+            return istft(est, dsp.n_fft, dsp.hop) / c[:, None]
+
+        _SHARED_WINDOW_FNS[key] = fn
+    return fn
+
 
 class StreamingEnhancer:
     """Push-based streaming enhancer with fixed compute shape.
@@ -73,22 +105,7 @@ class StreamingEnhancer:
 
         self.model = TSCNet(cfg.model, dtype=dtype)
         self.variables = variables
-
-        @jax.jit
-        def _enhance_window(variables, windows, c):
-            # windows: [S, window], c: [S] per-stream level scales
-            x = windows * c[:, None]
-            spec = stft(x, dsp.n_fft, dsp.hop)
-            packed = power_compress(spec, exponent=dsp.compress_exponent)
-            est_real, est_imag = self.model.apply(variables, packed, train=False)
-            est = power_uncompress(
-                est_real.astype(jnp.float32),
-                est_imag.astype(jnp.float32),
-                exponent=dsp.compress_exponent,
-            )
-            return istft(est, dsp.n_fft, dsp.hop) / c[:, None]
-
-        self._enhance_window = _enhance_window
+        self._enhance_window = _window_fn(cfg, dtype)
         self.reset()
 
     def reset(self):

@@ -74,3 +74,38 @@ def test_aug_builder_scales_past_residual_pool(tmp_path):
     names = os.listdir(out / "clean")
     assert len(names) == 15  # 3 cleans x 5 picks, not capped at 3 x 2
     assert len(os.listdir(out / "noisy")) == 15
+
+
+def test_aug_builder_noise_families(tmp_path):
+    """Round-3 builder: every noise family produces finite, non-clipped
+    pairs at the requested SNR band, and family tags appear in names."""
+    from cmgan_tpu.data import read_wav, write_wav
+    from tools.make_aug_dataset import DEFAULT_FAMILIES, build
+
+    src = tmp_path / "src"
+    for sub in ("clean", "noisy"):
+        os.makedirs(src / sub)
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        c = (rng.standard_normal(6000) * 0.2).astype(np.float32)
+        write_wav(str(src / "clean" / f"p{i}_1.wav"), c, 16000)
+        write_wav(str(src / "noisy" / f"p{i}_1.wav"), c + 0.05 * rng.standard_normal(6000).astype(np.float32), 16000)
+
+    out = tmp_path / "out"
+    build(str(src), str(out), per_clean=30, seed=0, snr_lo=0.0, snr_hi=15.0)
+    names = os.listdir(out / "clean")
+    assert len(names) == 120
+    tags = {n.split("_")[2][:3] for n in names}
+    # with 30 picks/clean at the default weights all 5 families appear
+    assert tags >= {f[:3] for f, _ in DEFAULT_FAMILIES}
+    snrs = []
+    for n in names[:40]:
+        c, _ = read_wav(str(out / "clean" / n))
+        y, _ = read_wav(str(out / "noisy" / n))
+        c, y = c[0].astype(np.float64), y[0].astype(np.float64)
+        assert np.all(np.isfinite(y)) and np.max(np.abs(y)) <= 1.0
+        noise = y - c
+        snrs.append(10 * np.log10(np.mean(c * c) / np.mean(noise * noise)))
+    # SNR targeting: every pair lands in the requested band (PCM16
+    # quantization + clipping rescale can nudge the edges slightly)
+    assert min(snrs) > -1.5 and max(snrs) < 16.5

@@ -73,3 +73,32 @@ def test_two_concurrent_streams_are_independent(served):
     np.testing.assert_allclose(results["a"], ref_a, atol=1e-6)
     assert results["b"].shape == b.shape
     assert not np.allclose(results["a"], results["b"])
+
+
+def test_protocol_rejects_hostile_headers():
+    """A 4-byte header must not be able to demand a huge allocation or
+    a non-float32-aligned payload (round-2 advisor finding)."""
+    import socket
+    import struct
+    import threading
+
+    from cmgan_tpu.cli.serve import MAX_FRAME_BYTES, ProtocolError, recv_frame
+
+    def run_case(header_n, payload=b""):
+        a, b = socket.socketpair()
+        try:
+            a.sendall(struct.pack("<I", header_n) + payload)
+            a.shutdown(socket.SHUT_WR)
+            return recv_frame(b)
+        finally:
+            a.close()
+            b.close()
+
+    import pytest
+
+    with pytest.raises(ProtocolError):
+        run_case(MAX_FRAME_BYTES + 4)
+    with pytest.raises(ProtocolError):
+        run_case(6, b"abcdef")  # not a multiple of 4
+    assert run_case(0) == b""
+    assert run_case(8, b"12345678") == b"12345678"

@@ -94,3 +94,17 @@ def test_multi_stream_lockstep_matches_single(tiny, rng):
         single = _make_enhancer(cfg, variables)
         y_single = np.concatenate([single.push(xs[i]), single.flush()])
         np.testing.assert_allclose(y_multi[i], y_single, atol=1e-5)
+
+
+def test_window_program_shared_across_instances(tiny):
+    """Two enhancers with the same config share ONE jitted window fn
+    (per-connection instances in cli/serve.py must not re-trace)."""
+    from cmgan_tpu.streaming import _window_fn
+
+    cfg, variables = tiny
+    a = StreamingEnhancer(cfg, variables, chunk=800, left_context=800,
+                          lookahead=400, crossfade=80)
+    b = StreamingEnhancer(cfg, variables, chunk=400, left_context=1200,
+                          lookahead=400, crossfade=80)
+    assert a._enhance_window is b._enhance_window
+    assert a._enhance_window is _window_fn(cfg, None)
