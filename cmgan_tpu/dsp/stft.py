@@ -46,15 +46,76 @@ def frame_signal(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
     return xp[..., idx]
 
 
-def stft(x: jax.Array, n_fft: int = 400, hop: int = 100, window: jax.Array | None = None) -> jax.Array:
+@functools.lru_cache(maxsize=8)
+def _rdft_matrices(n_fft: int):
+    """Real-input DFT as two [n_fft, F] matmul operands (numpy, cached)."""
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(n_fft)
+    ang = -2.0 * np.pi * np.outer(n, k) / n_fft
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def _irdft_matrices(n_fft: int):
+    """Onesided inverse DFT as two [F, n_fft] matmul operands.
+
+    x[n] = (1/N) sum_k w_k (Re X_k cos(2*pi*k*n/N) - Im X_k sin(...)),
+    with w_k = 2 except w_0 = w_{N/2} = 1 (hermitian fold).
+    """
+    nf = n_fft // 2 + 1
+    k = np.arange(nf)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft
+    w = np.full(nf, 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    scale = w[:, None] / n_fft
+    return (
+        (np.cos(ang) * scale).astype(np.float32),
+        (np.sin(ang) * scale).astype(np.float32),
+    )
+
+
+def rdft_matmul(frames: jax.Array, n_fft: int) -> jax.Array:
+    """rFFT of the last axis as two MXU matmuls -> complex [..., F].
+
+    Numerically ~1e-5-close to jnp.fft.rfft at n_fft=400 in fp32. Used
+    where the fft HLO is unavailable or slow: XLA:CPU's fft thunk
+    rejects the layouts shard_map picks when both live in one module
+    (the seq-parallel train step), and TPUs have no FFT unit anyway —
+    XLA lowers small FFTs onto the MXU much like this, explicitly.
+    """
+    cos, sin = _rdft_matrices(n_fft)
+    re = frames @ jnp.asarray(cos)
+    im = frames @ jnp.asarray(sin)  # sin(ang) already carries the -2*pi
+    return jax.lax.complex(re, im)
+
+
+def irdft_matmul(spec: jax.Array, n_fft: int) -> jax.Array:
+    """Inverse of `rdft_matmul`: complex [..., F] -> real [..., n_fft]."""
+    cos, sin = _irdft_matrices(n_fft)
+    return jnp.real(spec) @ jnp.asarray(cos) - jnp.imag(spec) @ jnp.asarray(sin)
+
+
+def stft(
+    x: jax.Array,
+    n_fft: int = 400,
+    hop: int = 100,
+    window: jax.Array | None = None,
+    dft_impl: str = "fft",
+) -> jax.Array:
     """Onesided centered STFT. x: [..., L] -> complex64 [..., T, F].
 
     T = L // hop + 1, F = n_fft // 2 + 1. Matches torch.stft output values
     (torch lays them out [..., F, T]; we are time-major).
+    dft_impl: 'fft' (jnp.fft.rfft) or 'matmul' (see rdft_matmul).
     """
     if window is None:
         window = hamming_window(n_fft, x.dtype)
     frames = frame_signal(x, n_fft, hop) * window
+    if dft_impl == "matmul":
+        return rdft_matmul(frames, n_fft)
     return jnp.fft.rfft(frames, n=n_fft, axis=-1)
 
 
@@ -83,16 +144,21 @@ def istft(
     hop: int = 100,
     window: jax.Array | None = None,
     length: int | None = None,
+    dft_impl: str = "fft",
 ) -> jax.Array:
     """Centered inverse STFT with window-square OLA normalization.
 
     spec: complex [..., T, F] -> [..., (T-1)*hop] (or `length` samples).
     Matches torch.istft(onesided=True, center=True).
+    dft_impl: 'fft' (jnp.fft.irfft) or 'matmul' (see irdft_matmul).
     """
     if window is None:
         window = hamming_window(n_fft, jnp.float32)
     num_frames = spec.shape[-2]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
+    if dft_impl == "matmul":
+        frames = irdft_matmul(spec, n_fft) * window
+    else:
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
     y = _overlap_add(frames, hop)
 
     # Window-square normalization envelope (same for every batch element).

@@ -56,10 +56,16 @@ class RelPosAttention(nn.Module):
     'auto' switches to flash at >=512 frames, where dense [*, T, T]
     logits dominate HBM; 'seq' shards the time axis over the ambient
     mesh's `seq` axis (ops/seq_attention.py — cross-chip long-form;
-    wrap apply in jax.sharding.set_mesh). The fused kernels have no
-    attention-weight dropout, so train mode uses them only when attn
-    dropout is 0 (e.g. long-form configs); otherwise training takes the
-    XLA path.
+    wrap apply in jax.sharding.set_mesh).
+
+    All impls are exact in TRAIN mode too: the reference applies
+    `dropout` to the attention OUTPUT after the to_out projection
+    (src/models/conformer.py:88,133 — `self.dropout(out)`), never to
+    the attention weights, so the fused kernels compute the identical
+    train-mode math and the output dropout happens outside them here
+    (round 2 gated the kernels out of train mode on the mistaken
+    premise that weight-dropout was needed; tests pin the train-mode
+    flash==xla equivalence).
     """
 
     dim: int
@@ -90,9 +96,8 @@ class RelPosAttention(nn.Module):
             (2 * self.max_pos_emb + 1, d),
         )
 
-        fused_ok = not train or self.dropout == 0.0
-        use_seq = fused_ok and self.attention_impl == "seq"
-        use_flash = fused_ok and (
+        use_seq = self.attention_impl == "seq"
+        use_flash = (
             self.attention_impl == "flash"
             or (self.attention_impl == "auto" and n >= 512)
         )

@@ -117,3 +117,53 @@ def test_relpos_attention_module_flash_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(out_flash), np.asarray(out_xla), atol=5e-5, rtol=1e-4
     )
+
+
+def test_train_mode_flash_matches_xla_with_dropout(rng):
+    """TRAIN-mode parity with attn dropout 0.2: the reference applies
+    attention dropout to the OUTPUT after to_out (reference
+    src/models/conformer.py:88,133), never to the weights, so the fused
+    kernel is exact in train mode too — same dropout rng => identical
+    samples dropped on both paths. Round 2 wrongly gated flash/seq out
+    of train mode; this pins the gate's removal."""
+    from cmgan_tpu.models.conformer import RelPosAttention
+
+    b, n, dim = 2, 160, 64
+    x = _rand(rng, b, n, dim) * 0.5
+
+    flash = RelPosAttention(dim, dropout=0.2, attention_impl="flash")
+    xla = RelPosAttention(dim, dropout=0.2, attention_impl="xla")
+    variables = flash.init({"params": jax.random.key(0)}, x)
+    dkey = jax.random.key(7)
+
+    out_flash = flash.apply(variables, x, train=True, rngs={"dropout": dkey})
+    out_xla = xla.apply(variables, x, train=True, rngs={"dropout": dkey})
+    # identical dropout mask on both paths: zeros coincide exactly
+    np.testing.assert_array_equal(
+        np.asarray(out_flash) == 0.0, np.asarray(out_xla) == 0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=1e-4, rtol=1e-3
+    )
+
+    # gradients also agree (kernel bwd runs in train mode now)
+    def loss(fn):
+        def inner(params):
+            y = fn.apply(
+                {"params": params}, x, train=True, rngs={"dropout": dkey}
+            )
+            return jnp.sum(y * y)
+        return inner
+
+    g_flash = jax.grad(loss(flash))(variables["params"])
+    g_xla = jax.grad(loss(xla))(variables["params"])
+    flat_f = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(g_flash)}
+    flat_x = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(g_xla)}
+    assert flat_f.keys() == flat_x.keys()
+    for name in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(flat_f[name]), np.asarray(flat_x[name]),
+            atol=5e-4, rtol=5e-3, err_msg=name,
+        )

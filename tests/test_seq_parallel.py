@@ -173,10 +173,20 @@ def test_trainer_constructs_and_steps_with_seq_config():
     import jax
     import numpy as np
 
-    from cmgan_tpu.config import CMGANConfig, MeshConfig, ModelConfig, TrainConfig
+    from cmgan_tpu.config import (
+        CMGANConfig,
+        DSPConfig,
+        MeshConfig,
+        ModelConfig,
+        TrainConfig,
+    )
     from cmgan_tpu.train import Trainer
 
     cfg = CMGANConfig(
+        # matmul DFT: with the round-3 gate removal, TRAIN mode really
+        # runs seq attention (shard_map), and XLA:CPU's fft thunk cannot
+        # share a module with shard_map (long_form_48k sets this too)
+        dsp=DSPConfig(dft_impl="matmul"),
         model=ModelConfig(
             num_channels=8,
             num_tscb_blocks=1,
