@@ -5,13 +5,17 @@ jitted pipeline (STFT -> TSCNet -> iSTFT) on 2 s segments (the model's
 native training context; offline eval chunks tracks the same way). The
 north-star target is >=50x realtime per chip (BASELINE.json).
 
-Also measures GAN TRAINING throughput (full fused G+label+D step in
-device-label mode, batch 16, 2 s crops — the reference hot loop,
-src/train.py:176-205) and reports it as extra keys on the same line.
+Also measures GAN TRAINING throughput on the reference hot loop
+(src/train.py:176-205), batch 8 + TSCB remat, fp32, 2 s crops, in BOTH
+label schedules: the fused device-label step (one XLA program,
+`train_*` keys) and the reference-faithful synchronous host-label
+schedule (`train_host_*` keys — the schedule the quality evidence
+runs use). Env overrides: CMGAN_BENCH_TRAIN_BATCH / _DTYPE.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "train_steps_per_sec": N, "train_utt_per_sec": N}
+   "train_steps_per_sec": N, "train_utt_per_sec": N,
+   "train_host_steps_per_sec": N, "train_host_utt_per_sec": N, ...}
 """
 
 import json
@@ -103,7 +107,7 @@ def main():
 
 
 def bench_training():
-    """Fused-step GAN training throughput (device PESQ labels, fp32)."""
+    """GAN training throughput, device-label AND host-label schedules."""
     import dataclasses
 
     import jax
@@ -115,47 +119,47 @@ def bench_training():
 
     batch = int(os.environ.get("CMGAN_BENCH_TRAIN_BATCH", "8"))
     train_bf16 = os.environ.get("CMGAN_BENCH_TRAIN_DTYPE", "fp32") == "bf16"
-    cfg = CMGANConfig(
-        train=dataclasses.replace(
-            TrainConfig(), batch_size=batch, pesq_label_mode="device"
-        )
-    )
-    if batch > 4:
-        # fp32 dense-attention training activations at batch 16 need
-        # ~48 GB (the reference's attn_dropout=0.2 rules out the O(T)
-        # flash kernel in train mode); TSCB remat fits batch 8 in one
-        # v5e chip's 16 GB at the same utt/s as batch 4 un-rematted
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, remat=True)
-        )
 
     class _Sized:
         def __len__(self):
             return 1000  # steps/epoch for the LR schedule; never iterated
 
-    trainer = Trainer(
-        cfg, train_loader=_Sized(), dtype=jnp.bfloat16 if train_bf16 else None
-    )
     rng = np.random.default_rng(1)
-    clean = rng.standard_normal((batch, cfg.train.cut_len)).astype(np.float32) * 0.1
+    clean = rng.standard_normal((batch, TrainConfig().cut_len)).astype(np.float32) * 0.1
     noisy = (clean + rng.standard_normal(clean.shape).astype(np.float32) * 0.03)
 
-    # compile + warmup
-    g, d = trainer.train_step(clean, noisy)
-    jax.device_get((g, d))
-
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    out = {"train_batch": batch, "train_dtype": "bf16" if train_bf16 else "fp32"}
+    for mode, prefix in (("device", "train"), ("host", "train_host")):
+        cfg = CMGANConfig(
+            train=dataclasses.replace(
+                TrainConfig(), batch_size=batch, pesq_label_mode=mode
+            )
+        )
+        if batch > 4:
+            # fp32 dense-attention (the measured-fastest impl at T=321,
+            # see ROADMAP) at batch 16 needs ~48 GB of activations;
+            # TSCB remat fits batch 8 in one 16 GB chip at the same
+            # utt/s as batch 4 un-rematted
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, remat=True)
+            )
+        trainer = Trainer(
+            cfg, train_loader=_Sized(),
+            dtype=jnp.bfloat16 if train_bf16 else None,
+        )
+        # compile + warmup
         g, d = trainer.train_step(clean, noisy)
-    jax.device_get((g, d))  # serializes the async-dispatched chain
-    dt = time.perf_counter() - t0
-    return {
-        "train_steps_per_sec": round(iters / dt, 3),
-        "train_utt_per_sec": round(iters * batch / dt, 2),
-        "train_batch": batch,
-        "train_dtype": "bf16" if train_bf16 else "fp32",
-    }
+        jax.device_get((g, d))
+
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            g, d = trainer.train_step(clean, noisy)
+        jax.device_get((g, d))  # serializes the async-dispatched chain
+        dt = time.perf_counter() - t0
+        out[f"{prefix}_steps_per_sec"] = round(iters / dt, 3)
+        out[f"{prefix}_utt_per_sec"] = round(iters * batch / dt, 2)
+    return out
 
 
 if __name__ == "__main__":

@@ -135,6 +135,9 @@ def main():
     ap.add_argument("--max_steps", type=int, default=0,
                     help="stop after this many optimizer steps (0 = "
                     "time-bounded only); use for fixed-step A/B runs")
+    ap.add_argument("--max_new_steps", type=int, default=0,
+                    help="stop after this many steps BEYOND the resumed "
+                    "checkpoint's step (relative form of --max_steps)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--remat", action="store_true",
@@ -154,6 +157,9 @@ def main():
     ap.add_argument("--time_loss_domain", type=str, default="reference",
                     choices=("reference", "normalized"),
                     help="time-L1 target domain (see TrainConfig)")
+    ap.add_argument("--pesq_label_mode", type=str, default="host",
+                    choices=("host", "host_async", "device"),
+                    help="PESQ label schedule for the D step")
     ap.add_argument("--data_from", type=str, default=None,
                     help="reuse train/eval dirs from a previous run dir "
                     "(symlinked) instead of building a corpus")
@@ -195,6 +201,7 @@ def main():
             seed=args.seed,
             decay_epochs=args.decay_epochs,
             time_loss_domain=args.time_loss_domain,
+            pesq_label_mode=args.pesq_label_mode,
         ),
     )
     if args.remat:
@@ -223,6 +230,10 @@ def main():
         )
         print(f"resumed from {args.resume} at step "
               f"{int(jax.device_get(trainer.state.step))}", flush=True)
+    if args.max_new_steps:
+        args.max_steps = (
+            int(jax.device_get(trainer.state.step)) + args.max_new_steps
+        )
 
     def snapshot_eval(tag, attempts=3):
         # the remote-compile tunnel can transiently drop a response
