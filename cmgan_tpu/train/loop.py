@@ -106,8 +106,17 @@ class Trainer:
         applied during step t+1 (the generator sees D one step stale —
         the overlapped variant SURVEY §7 plans behind a flag; the
         reference itself is synchronous, src/train.py:176-205). The
-        deferred update replays the synchronous schedule exactly (same
-        StepLR epoch, same dropout stream) via the stashed post-G step.
+        deferred update replays the synchronous StepLR epoch and
+        dropout stream via the stashed post-G step, but is NOT a
+        bit-exact replay of the synchronous schedule: (a) the generator
+        update for t+1 uses D's parameters from t-1 (one step stale),
+        and (b) the deferred d_step reads disc_stats (BatchNorm
+        statistics / spectral-norm u,v) as advanced by batch t+1's
+        G-phase discriminator forward, where the synchronous order
+        would read batch t's. Both deviations are O(one step) and decay
+        with training; tests/test_train.py::
+        test_host_async_interleaved_drift_is_bounded quantifies the
+        parameter drift over an interleaved window.
         Returns the PREVIOUS batch's disc loss, or None on the first
         step of an epoch; `drain_pending_d()` applies the final deferred
         update.

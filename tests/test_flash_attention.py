@@ -167,3 +167,46 @@ def test_train_mode_flash_matches_xla_with_dropout(rng):
             np.asarray(flat_f[name]), np.asarray(flat_x[name]),
             atol=5e-4, rtol=5e-3, err_msg=name,
         )
+
+
+def test_train_mode_actually_uses_pallas_kernel():
+    """Pin WHICH impl executes: with attention_impl='flash' in TRAIN
+    mode (dropout 0.2) the traced program must contain a pallas_call —
+    round 2's silent fallback to dense attention cannot return."""
+    from cmgan_tpu.models.conformer import RelPosAttention
+
+    b, n, dim = 1, 96, 32
+    x = jnp.zeros((b, n, dim))
+    mod = RelPosAttention(dim, heads=2, dim_head=16, dropout=0.2,
+                          attention_impl="flash")
+    variables = mod.init({"params": jax.random.key(0)}, x)
+
+    jaxpr = jax.make_jaxpr(
+        lambda v, x: mod.apply(v, x, train=True,
+                               rngs={"dropout": jax.random.key(1)})
+    )(variables, x)
+    prims = {e.primitive.name for e in jaxpr.eqns}
+
+    def all_prims(jx, acc):
+        for e in jx.eqns:
+            acc.add(e.primitive.name)
+            for p in e.params.values():
+                if hasattr(p, "jaxpr"):
+                    all_prims(p.jaxpr, acc)
+                elif isinstance(p, (list, tuple)):
+                    for q in p:
+                        if hasattr(q, "jaxpr"):
+                            all_prims(q.jaxpr, acc)
+        return acc
+
+    prims = all_prims(jaxpr.jaxpr, set(prims))
+    assert "pallas_call" in prims, sorted(prims)
+
+    # and the xla impl must NOT contain one
+    mod_x = RelPosAttention(dim, heads=2, dim_head=16, dropout=0.2,
+                            attention_impl="xla")
+    jaxpr_x = jax.make_jaxpr(
+        lambda v, x: mod_x.apply(v, x, train=True,
+                                 rngs={"dropout": jax.random.key(1)})
+    )(variables, x)
+    assert "pallas_call" not in all_prims(jaxpr_x.jaxpr, set())

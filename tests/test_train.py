@@ -405,3 +405,50 @@ def test_time_loss_domain_flag():
         losses[domain] = got
     # identical weights/inputs, so the two targets must give different losses
     assert losses["reference"] != pytest.approx(losses["normalized"], rel=1e-3)
+
+
+def test_host_async_interleaved_drift_is_bounded():
+    """host_async is an overlapped approximation: interleaved steps see
+    D one step stale and disc_stats ordered differently (loop.py
+    train_step docstring). Quantify 3-step interleaved drift vs 'host':
+    generator parameters must stay close (relative L2 < 2%) and both
+    runs must remain finite — a schedule bug (e.g. wrong StepLR epoch
+    or dropped D update) shows up as orders-of-magnitude more drift."""
+    from cmgan_tpu.train import Trainer
+
+    rng = np.random.default_rng(3)
+    clean = rng.standard_normal((8, 4000)).astype(np.float32) * 0.1
+    noisy = clean + rng.standard_normal((8, 4000)).astype(np.float32) * 0.05
+
+    class _Sized:
+        def __len__(self):
+            return 10
+
+    states = {}
+    for mode in ("host", "host_async"):
+        cfg = tiny_cfg(batch_size=8)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, pesq_label_mode=mode)
+        )
+        t = Trainer(cfg, _Sized())
+        for _ in range(3):
+            t.train_step(clean, noisy)
+        if mode == "host_async":
+            t.drain_pending_d()
+        states[mode] = jax.device_get(t.state)
+
+    def rel_l2(a, b):
+        num = sum(float(jnp.sum((x - y) ** 2)) for x, y in zip(
+            jax.tree.leaves(a), jax.tree.leaves(b)))
+        den = sum(float(jnp.sum(x ** 2)) for x in jax.tree.leaves(a))
+        return (num / max(den, 1e-20)) ** 0.5
+
+    g_drift = rel_l2(states["host"].gen_params, states["host_async"].gen_params)
+    d_drift = rel_l2(states["host"].disc_params, states["host_async"].disc_params)
+    assert int(states["host_async"].step) == int(states["host"].step) == 3
+    for leaf in jax.tree.leaves(states["host_async"].gen_params):
+        assert np.all(np.isfinite(leaf))
+    assert g_drift < 0.02, g_drift
+    assert d_drift < 0.05, d_drift
+    # the deviation is real (stale-D + stats ordering), not zero:
+    assert g_drift > 0.0
