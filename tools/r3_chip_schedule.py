@@ -105,6 +105,22 @@ def main():
         winner, resume = "host", args.resume
     print(f"label A/B results={results} -> winner={winner}", flush=True)
 
+    # --- long-form 48 kHz TRAIN smoke (BASELINE config 5): flash
+    # attention in train mode makes long windows fit one chip; try the
+    # 12 s x 2 configuration, fall back to 8 s x 1 on OOM.
+    for secs, batch in ((12, 2), (8, 1)):
+        cmd = [sys.executable,
+               os.path.join(REPO, "tools", "longform_train_smoke.py"),
+               "--seconds", str(secs), "--batch", str(batch),
+               "--json", "/tmp/longform_smoke.json"]
+        print("RUN:", " ".join(cmd), flush=True)
+        with open("/tmp/longform_smoke.log", "a") as fh:
+            rc = subprocess.run(cmd, stdout=fh, stderr=subprocess.STDOUT,
+                                cwd=REPO, timeout=3600).returncode
+        print(f"long-form smoke {secs}s x{batch}: rc={rc}", flush=True)
+        if rc == 0:
+            break
+
     now = dt.datetime.now()
     hh, mm = map(int, args.until.split(":"))
     deadline = now.replace(hour=hh, minute=mm, second=0)
