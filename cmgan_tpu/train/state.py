@@ -89,9 +89,27 @@ def init_train_state(
 
     frames = cfg.dsp.num_frames(cfg.train.cut_len)
     spec = jnp.zeros((1, frames, cfg.dsp.num_freqs, 2))
-    gen_vars = gen.init({"params": k_gen}, spec)
     mag = jnp.zeros((1, frames, cfg.dsp.num_freqs))
-    disc_vars = disc.init({"params": k_disc}, mag, mag)
+
+    # Initialize on the host CPU backend as one jitted program per
+    # model: un-jitted flax init dispatches hundreds of tiny eager ops,
+    # each a round trip through the remote-dispatch tunnel on this rig
+    # (measured ~20 min of a quality run's startup). The values are
+    # replicated onto the mesh (or overwritten by a checkpoint restore)
+    # by the caller, so where they are computed is irrelevant. Seq-
+    # sharded configs keep the ambient-mesh path (shard_map must trace
+    # against the real mesh devices).
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if cfg.model.attention_impl != "seq":
+        try:
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            pass
+    with ctx:
+        gen_vars = jax.jit(gen.init)({"params": k_gen}, spec)
+        disc_vars = jax.jit(disc.init)({"params": k_disc}, mag, mag)
 
     gen_tx, disc_tx = make_optimizers(cfg, steps_per_epoch)
     return TrainState(
