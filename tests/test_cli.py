@@ -71,3 +71,14 @@ def test_load_variables_accepts_train_state_checkpoint(tmp_path):
     b = jax.tree.leaves(variables["params"])
     assert len(a) == len(b)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_train_time_loss_domain_flag_parses():
+    a = train_args(["--data_dir", "/x"])
+    assert a.time_loss_domain == "reference"  # parity default
+    a = train_args(["--data_dir", "/x", "--time_loss_domain", "normalized"])
+    assert a.time_loss_domain == "normalized"
+    import pytest
+
+    with pytest.raises(SystemExit):
+        train_args(["--data_dir", "/x", "--time_loss_domain", "bogus"])
