@@ -9,9 +9,13 @@ emits the chunk region, cross-faded with the previous emission over
 `crossfade` samples to hide seams.
 
 Algorithmic latency = chunk + lookahead (+ compute). The TSCNet time
-attention and dilated convs then see `left_context` seconds of past
-context, which is what drives quality; 1-2 s context recovers offline
-quality to within a few hundredths PESQ at a fraction of the latency.
+attention and dilated convs see `left_context` seconds of past
+context. Measured on the round-3 trained checkpoint (QUALITY_r03.md
+S5, `tools/streaming_eval.py`): 1 s context / 0.25 s lookahead /
+0.5 s chunk scores held-out PESQ 3.066 vs 3.211 offline (-0.145;
+SSNR -1.1 dB) — the gap is a per-window re-estimation/seam effect,
+not context starvation or causal normalization (both ruled out by
+the diagnostics recorded there).
 
 Level normalization uses a running RMS of the input (the offline
 whole-track RMS is unavailable causally), inverted on emission.
