@@ -108,11 +108,21 @@ def _mix_at_snr(clean: np.ndarray, noise: np.ndarray, snr_db: float) -> np.ndarr
 
 def build(src_dir: str, out_dir: str, per_clean: int = 20, seed: int = 0,
           families=DEFAULT_FAMILIES, snr_lo: float = 0.0, snr_hi: float = 15.0,
-          legacy: bool = False):
+          legacy: bool = False, residual_legacy_gain: bool = False):
     """Write `per_clean` augmented pairs per clean track.
 
     legacy=True reproduces the round-2 builder exactly (residual family
     only, gain ~ U[0.5, 1.5] instead of SNR targeting).
+
+    residual_legacy_gain=True keeps the multi-family mix but mixes the
+    `residual` family at the round-2 gain band (U[0.5, 1.5] on the raw
+    residual, i.e. near the source pair's NATURAL SNR) while synthetic
+    families use SNR targeting. Rationale (round-3 main run, first
+    attempt): retargeting real residuals to SNR ~ U[0, 15] dB skewed
+    the corpus harsher than the held-out distribution and monotonically
+    DEGRADED held-out PESQ (3.23 -> 3.00 over 5k steps) — the model
+    became over-aggressive (CSIG fell first). The natural-SNR residual
+    band is the measured-good configuration (QUALITY_r03 S2).
     """
     names = natsorted(os.listdir(os.path.join(src_dir, "clean")))
     cleans, residuals = [], []
@@ -153,7 +163,7 @@ def build(src_dir: str, out_dir: str, per_clean: int = 20, seed: int = 0,
             else:
                 raise ValueError(f"unknown noise family {fam!r}")
 
-            if legacy:
+            if legacy or (residual_legacy_gain and fam == "residual"):
                 gain = float(rng.uniform(0.5, 1.5))
                 noisy = clean + gain * noise
             else:
@@ -176,5 +186,27 @@ def build(src_dir: str, out_dir: str, per_clean: int = 20, seed: int = 0,
 
 
 if __name__ == "__main__":
-    per = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-    build(sys.argv[1], sys.argv[2], per)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("per_clean", type=int, nargs="?", default=20)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--snr_lo", type=float, default=0.0)
+    ap.add_argument("--snr_hi", type=float, default=15.0)
+    ap.add_argument("--legacy", action="store_true")
+    ap.add_argument("--residual_legacy_gain", action="store_true")
+    ap.add_argument(
+        "--families", default=None,
+        help="comma list of fam:weight, e.g. residual:0.6,babble:0.12")
+    args = ap.parse_args()
+    fams = DEFAULT_FAMILIES
+    if args.families:
+        fams = tuple(
+            (kv.split(":")[0], float(kv.split(":")[1]))
+            for kv in args.families.split(",")
+        )
+    build(args.src_dir, args.out_dir, args.per_clean, seed=args.seed,
+          families=fams, snr_lo=args.snr_lo, snr_hi=args.snr_hi,
+          legacy=args.legacy, residual_legacy_gain=args.residual_legacy_gain)
