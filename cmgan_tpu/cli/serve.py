@@ -91,6 +91,7 @@ class _Handler(socketserver.BaseRequestHandler):
             chunk=srv.stream_args["chunk"],
             left_context=srv.stream_args["left_context"],
             lookahead=srv.stream_args["lookahead"],
+            emit=srv.stream_args["emit"],
         )
         log.info("stream from %s (latency %d samples)",
                  self.client_address, enh.latency_samples)
@@ -120,12 +121,14 @@ class StreamServer(socketserver.ThreadingTCPServer):
 
 
 def make_server(cfg, variables, host="127.0.0.1", port=7860,
-                chunk=8000, left_context=24000, lookahead=4000):
+                chunk=8000, left_context=24000, lookahead=4000,
+                emit="wola"):
     server = StreamServer((host, port), _Handler)
     server.cfg = cfg
     server.variables = variables
     server.stream_args = {
-        "chunk": chunk, "left_context": left_context, "lookahead": lookahead
+        "chunk": chunk, "left_context": left_context, "lookahead": lookahead,
+        "emit": emit,
     }
     return server
 
@@ -175,6 +178,9 @@ def parse_args(argv=None):
                    help="emission granularity in samples (0.5 s default)")
     p.add_argument("--left_context", type=int, default=24000)
     p.add_argument("--lookahead", type=int, default=4000)
+    p.add_argument("--emit", type=str, default="wola",
+                   choices=["wola", "crossfade"],
+                   help="seam handling (see streaming.StreamingEnhancer)")
     # reuse the evaluate CLI's loader surface
     p.add_argument("--test_dir", help=argparse.SUPPRESS, default=None)
     return p.parse_args(argv)
@@ -203,7 +209,7 @@ def main(argv=None):
     server = make_server(
         cfg, variables, host=args.host, port=args.port,
         chunk=args.chunk, left_context=args.left_context,
-        lookahead=args.lookahead,
+        lookahead=args.lookahead, emit=args.emit,
     )
     log.info("serving on %s:%d", args.host, args.port)
     try:

@@ -80,6 +80,20 @@ class StreamingEnhancer:
     return `[num_streams, n]` blocks. Per-stream state (normalization,
     crossfade tails) stays independent; one chip serves an order of
     magnitude more concurrent streams than stepping them one by one.
+
+    `emit` selects seam handling:
+      - "wola" (default): weighted overlap-add over window estimates.
+        Each window also estimates the `lookahead` samples BEYOND the
+        emitted chunk; instead of discarding them, they are blended
+        with the next windows' estimates under a weight profile that
+        ramps 0->1 over the first min(chunk, lookahead) samples and
+        mirrors down over the last — adjacent windows' weights sum to
+        1, so every emitted sample is a smooth mixture of up to
+        1 + ceil(lookahead/chunk) independent estimates. Zero extra
+        compute, zero extra latency (the tail estimates are already
+        produced and would arrive earlier than emission time).
+      - "crossfade": round-2 behavior; single-window emission with a
+        `crossfade`-sample linear seam blend.
     """
 
     def __init__(
@@ -93,11 +107,15 @@ class StreamingEnhancer:
         dtype=None,
         rms_decay: float = 0.95,
         num_streams: int = 1,
+        emit: str = "wola",
     ):
         dsp = cfg.dsp
         assert chunk % dsp.hop == 0 and left_context % dsp.hop == 0
         assert lookahead % dsp.hop == 0 and 0 <= crossfade <= chunk
         assert num_streams >= 1
+        assert emit in ("wola", "crossfade")
+        if emit == "wola" and lookahead == 0:
+            emit = "crossfade"  # no tail estimates to blend
         self.cfg = cfg
         self.chunk = chunk
         self.left_context = left_context
@@ -106,10 +124,22 @@ class StreamingEnhancer:
         self.window = left_context + chunk + lookahead
         self.rms_decay = rms_decay
         self.num_streams = num_streams
+        self.emit = emit
 
         self.model = TSCNet(cfg.model, dtype=dtype)
         self.variables = variables
         self._enhance_window = _window_fn(cfg, dtype)
+        if emit == "wola":
+            ramp = min(chunk, lookahead)
+            length = chunk + lookahead
+            w = np.ones(length, np.float32)
+            # raised-cosine half-ramps; rise(o) + fall(o) == 1 so the
+            # total weight across overlapping windows is continuous
+            t = (np.arange(ramp, dtype=np.float32) + 0.5) / ramp
+            rise = 0.5 - 0.5 * np.cos(np.pi * t)
+            w[:ramp] = rise
+            w[length - ramp :] = rise[::-1]
+            self._wola_w = w
         self.reset()
 
     def reset(self):
@@ -119,6 +149,10 @@ class StreamingEnhancer:
         self._prev_tail: Optional[np.ndarray] = None
         self._mean_sq = np.zeros(s)
         self._warm = False
+        if self.emit == "wola":
+            length = self.chunk + self.lookahead
+            self._acc = np.zeros((s, length), np.float32)
+            self._wacc = np.zeros((s, length), np.float32)
         # the first `lookahead` raw emitted samples precede stream index
         # 0 (zero padding); drop them so output index i == input index i
         self._skip = self.lookahead
@@ -154,8 +188,30 @@ class StreamingEnhancer:
         )
         # emission region: the chunk that now sits `lookahead` from the end
         start = self.window - self.lookahead - self.chunk
-        out = est[:, start : start + self.chunk].copy()
 
+        if self.emit == "wola":
+            region = est[:, start:]  # [S, chunk + lookahead]
+            self._acc += self._wola_w * region
+            self._wacc += self._wola_w
+            num = self._acc[:, : self.chunk]
+            den = self._wacc[:, : self.chunk]
+            # den < 1 only in the first ramp of a fresh stream (no
+            # predecessor window yet): fall back to the raw estimate
+            out = np.where(
+                den > 1e-3, num / np.maximum(den, 1e-3), region[:, : self.chunk]
+            ).astype(np.float32)
+            shift = self.chunk
+            self._acc = np.concatenate(
+                [self._acc[:, shift:], np.zeros((est.shape[0], shift), np.float32)],
+                axis=1,
+            )
+            self._wacc = np.concatenate(
+                [self._wacc[:, shift:], np.zeros((est.shape[0], shift), np.float32)],
+                axis=1,
+            )
+            return out
+
+        out = est[:, start : start + self.chunk].copy()
         if self.crossfade > 0:
             fade = np.linspace(0.0, 1.0, self.crossfade, dtype=np.float32)
             if self._prev_tail is not None:

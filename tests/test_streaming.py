@@ -44,20 +44,72 @@ def test_stream_length_and_alignment(tiny, rng):
     assert float(np.sqrt(np.mean(y**2))) > 1e-4  # non-degenerate output
 
 
-def test_stream_matches_blockwise_invariance(tiny, rng):
+@pytest.mark.parametrize("emit", ["wola", "crossfade"])
+def test_stream_matches_blockwise_invariance(tiny, rng, emit):
     # same input through different push block sizes -> identical output
     cfg, variables = tiny
     x = rng.standard_normal(12_000).astype(np.float32) * 0.1
 
-    s1 = _make_enhancer(cfg, variables)
+    s1 = StreamingEnhancer(
+        cfg, variables, chunk=2000, left_context=6000, lookahead=1000,
+        crossfade=200, emit=emit,
+    )
     y1 = np.concatenate([s1.push(x), s1.flush()])
 
-    s2 = _make_enhancer(cfg, variables)
+    s2 = StreamingEnhancer(
+        cfg, variables, chunk=2000, left_context=6000, lookahead=1000,
+        crossfade=200, emit=emit,
+    )
     parts = [s2.push(x[i : i + 700]) for i in range(0, x.size, 700)]
     parts.append(s2.flush())
     y2 = np.concatenate(parts)
 
     np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+@pytest.mark.parametrize("chunk,lookahead", [(2000, 1000), (2000, 2000), (1000, 2000)])
+def test_wola_weights_cover_every_sample(tiny, chunk, lookahead):
+    """The shifted wola weight profiles sum to a constant over the
+    emitted chunk once the stream is warm (lookahead<=chunk: exactly 1;
+    lookahead>chunk: constant >1, normalized away at emission)."""
+    cfg, variables = tiny
+    s = StreamingEnhancer(
+        cfg, variables, chunk=chunk, left_context=4000, lookahead=lookahead,
+        emit="wola",
+    )
+    w = s._wola_w
+    total = np.zeros(chunk)
+    k = 0
+    while k * chunk < w.size:
+        seg = w[k * chunk : k * chunk + chunk]
+        total[: seg.size] += seg
+        k += 1
+    np.testing.assert_allclose(total, total[0], atol=1e-6)
+    assert total[0] >= 1.0 - 1e-6
+
+
+def test_wola_multi_contributor_stream(tiny, rng):
+    """lookahead > chunk: every sample blends three window estimates;
+    output stays aligned, finite, and non-degenerate."""
+    cfg, variables = tiny
+    s = StreamingEnhancer(
+        cfg, variables, chunk=1000, left_context=4000, lookahead=2000,
+        emit="wola",
+    )
+    n = 9_500
+    x = rng.standard_normal(n).astype(np.float32) * 0.1
+    y = np.concatenate([s.push(x), s.flush()])
+    assert y.shape == (n,)
+    assert np.all(np.isfinite(y))
+    assert float(np.sqrt(np.mean(y**2))) > 1e-4
+
+
+def test_wola_zero_lookahead_falls_back_to_crossfade(tiny):
+    cfg, variables = tiny
+    s = StreamingEnhancer(
+        cfg, variables, chunk=2000, left_context=6000, lookahead=0, emit="wola"
+    )
+    assert s.emit == "crossfade"
 
 
 def test_latency_property(tiny):

@@ -51,7 +51,23 @@ def main():
     ap.add_argument("--eval_dir", default="/tmp/corpus_r3/eval")
     ap.add_argument("--json", default=None)
     ap.add_argument("--chunk_seconds", type=float, default=0.5)
+    ap.add_argument("--emit", default="wola", choices=["wola", "crossfade"])
+    ap.add_argument(
+        "--offline_from", default=None,
+        help="prior results JSON whose 'offline' aggregate is reused "
+        "(skips re-enhancing/scoring the offline baseline; only valid "
+        "for the same --model and --eval_dir)",
+    )
+    ap.add_argument(
+        "--configs", default=None,
+        help="override the (left_context_s, lookahead_s) grid, e.g. "
+        "'1.0:0.25,1.5:0.5'",
+    )
     args = ap.parse_args()
+    configs = CONFIGS
+    if args.configs:
+        configs = [tuple(map(float, kv.split(":")))
+                   for kv in args.configs.split(",")]
 
     import jax
 
@@ -81,20 +97,24 @@ def main():
         )
         return {"pesq": pesq, "ssnr": ssnr, "stoi": stoi}
 
-    results = {"model": args.model, "rows": []}
-
-    enh = Enhancer(cfg, variables)
-    offline = {}
-    for name, clean, noisy in tracks:
-        offline[name] = score(clean, enh.enhance(noisy))
-        print(f"offline {name}: {offline[name]}", flush=True)
+    results = {"model": args.model, "emit": args.emit, "rows": []}
 
     agg = lambda d: {k: float(np.mean([v[k] for v in d.values()]))
                      for k in ("pesq", "ssnr", "stoi")}
-    results["offline"] = agg(offline)
+    if args.offline_from:
+        with open(args.offline_from) as fh:
+            results["offline"] = json.load(fh)["offline"]
+        print(f"offline (reused): {results['offline']}", flush=True)
+    else:
+        enh = Enhancer(cfg, variables)
+        offline = {}
+        for name, clean, noisy in tracks:
+            offline[name] = score(clean, enh.enhance(noisy))
+            print(f"offline {name}: {offline[name]}", flush=True)
+        results["offline"] = agg(offline)
 
     chunk = int(args.chunk_seconds * sr)
-    for left_s, look_s in CONFIGS:
+    for left_s, look_s in configs:
         per = {}
         for name, clean, noisy in tracks:
             s = StreamingEnhancer(
@@ -102,6 +122,7 @@ def main():
                 chunk=chunk,
                 left_context=int(left_s * sr),
                 lookahead=int(look_s * sr),
+                emit=args.emit,
             )
             outs = [s.push(noisy)]
             outs.append(s.flush())
