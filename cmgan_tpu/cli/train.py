@@ -47,6 +47,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=("reference", "normalized"),
                    help="time-L1 target: raw clean (reference quirk, "
                    "suppresses output gain) or clean*c (gain-consistent)")
+    p.add_argument("--ema_decay", type=float, default=d.gen_ema_decay,
+                   help="generator weight EMA decay (0 disables); the "
+                   "smoothed weights are saved alongside each epoch "
+                   "checkpoint as <save_model_dir>/..._ema")
     return p.parse_args(argv)
 
 
@@ -76,6 +80,7 @@ def main(argv=None):
             seed=args.seed,
             pesq_label_mode=args.pesq_label_mode,
             time_loss_domain=args.time_loss_domain,
+            gen_ema_decay=args.ema_decay,
         ),
         mesh=MeshConfig(),
     )

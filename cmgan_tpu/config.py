@@ -119,6 +119,14 @@ class TrainConfig:
     # 'normalized' compares est_audio against clean * c, gain-consistent
     # with the mag/RI spectral terms.
     time_loss_domain: str = "reference"
+    # Polyak/EMA averaging of the generator parameters: after every G
+    # update the trainer maintains ema <- d*ema + (1-d)*params as a
+    # separate on-device tree (one fused elementwise pass; the
+    # TrainState pytree and checkpoint format are unchanged). 0.0
+    # disables. The reference has no equivalent; this is a standard
+    # production-serving lever (evaluate/export the smoothed weights
+    # while training the raw ones). See Trainer.ema_variables().
+    gen_ema_decay: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

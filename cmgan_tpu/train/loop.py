@@ -69,6 +69,23 @@ class Trainer:
                     cfg, cfg.train.seed, steps_per_epoch, dtype=dtype
                 )
         self.state = replicate_state(self.mesh, state)
+        self.ema_params = None
+        self._ema_update = None
+        if cfg.train.gen_ema_decay > 0.0:
+            import jax.numpy as jnp
+
+            d = float(cfg.train.gen_ema_decay)
+            # fresh buffers (not aliases): the live gen_params are donated
+            # to the next step's jitted program
+            self.ema_params = jax.jit(lambda t: jax.tree.map(jnp.asarray, t))(
+                self.state.gen_params
+            )
+            self._ema_update = jax.jit(
+                lambda ema, p: jax.tree.map(
+                    lambda e, q: d * e + (1.0 - d) * q.astype(e.dtype), ema, p
+                ),
+                donate_argnums=0,
+            )
         self._label_pool = None
         self._pending_d = None  # (handoff, scores_future) in host_async mode
         if cfg.train.pesq_label_mode == "host_async":
@@ -127,6 +144,7 @@ class Trainer:
                 self.state, metrics, disc_loss = self.fused_step(
                     self.state, clean_d, noisy_d
                 )
+            self._maybe_ema()
             return metrics["gen_loss"], disc_loss
         if self.cfg.train.pesq_label_mode == "host_async":
             with self._mesh_ctx():
@@ -145,10 +163,12 @@ class Trainer:
             )
             disc_loss = self.drain_pending_d()
             self._pending_d = (handoff, future, step_after_g)
+            self._maybe_ema()
             return metrics["gen_loss"], disc_loss
         with self._mesh_ctx():
             self.state, metrics, handoff = self.g_step(self.state, clean_d, noisy_d)
         est_audio = np.asarray(handoff["est_audio"])
+        self._maybe_ema()
         scores = pesq_labels_host(clean, est_audio)
         with self._mesh_ctx():
             self.state, disc_loss = self.d_step(
@@ -158,6 +178,25 @@ class Trainer:
                 shard_batch(self.mesh, scores),
             )
         return metrics["gen_loss"], disc_loss
+
+    def _maybe_ema(self):
+        """Fold the freshest generator params into the EMA tree
+        (gen_ema_decay > 0); runs as one donated elementwise program."""
+        if self._ema_update is not None:
+            self.ema_params = self._ema_update(
+                self.ema_params, self.state.gen_params
+            )
+
+    def ema_variables(self):
+        """Inference variables with EMA-smoothed generator params (the
+        current BatchNorm stats ride along, standard EMA practice).
+        Requires cfg.train.gen_ema_decay > 0."""
+        if self.ema_params is None:
+            raise ValueError("gen_ema_decay is 0: no EMA tree is tracked")
+        return {
+            "params": self.ema_params,
+            "batch_stats": self.state.gen_stats,
+        }
 
     def drain_pending_d(self):
         """Apply the deferred discriminator update (host_async mode).
@@ -299,6 +338,11 @@ class Trainer:
         )
         save_train_state(path, self.state)
         log.info("saved checkpoint %s", path)
+        if self.ema_params is not None:
+            from cmgan_tpu.checkpoint import save_variables
+
+            save_variables(path + "_ema", jax.device_get(self.ema_variables()))
+            log.info("saved EMA variables %s_ema", path)
 
     def train(self):
         cfg = self.cfg.train

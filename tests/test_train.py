@@ -452,3 +452,50 @@ def test_host_async_interleaved_drift_is_bounded():
     assert d_drift < 0.05, d_drift
     # the deviation is real (stale-D + stats ordering), not zero:
     assert g_drift > 0.0
+
+
+def test_gen_ema_tracks_param_history():
+    """EMA tree == the closed-form recursion over the raw param history,
+    and stays out of the TrainState (checkpoint format unchanged)."""
+    d = 0.5  # large 1-d so two steps move the EMA measurably
+    cfg = tiny_cfg(batch_size=8)
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, pesq_label_mode="device", gen_ema_decay=d
+        ),
+    )
+    trainer = Trainer(cfg, _SizedLoader(10))
+    p0 = jax.device_get(trainer.state.gen_params)
+
+    history = []
+    for seed in (3, 4):
+        clean, noisy = _async_batch(seed)
+        trainer.train_step(clean, noisy)
+        history.append(jax.device_get(trainer.state.gen_params))
+
+    # ema_t = d^t p0 + (1-d) * sum_i d^(t-1-i) p_{i+1}
+    expect = p0
+    for p in history:
+        expect = jax.tree.map(lambda e, q: d * e + (1 - d) * q, expect, p)
+
+    got = jax.device_get(trainer.ema_variables()["params"])
+    for a, b in zip(jax.tree.leaves(expect), jax.tree.leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
+    # EMA lags the raw params (it still contains init mass)
+    raw = history[-1]
+    diff = sum(
+        float(np.abs(a - b).sum())
+        for a, b in zip(jax.tree.leaves(raw), jax.tree.leaves(got))
+    )
+    assert diff > 0.0
+    # TrainState pytree unchanged: EMA is trainer-owned
+    assert not hasattr(trainer.state, "ema_params")
+
+
+def test_gen_ema_disabled_by_default():
+    cfg = tiny_cfg(batch_size=8)
+    trainer = Trainer(cfg, _SizedLoader(10))
+    assert trainer.ema_params is None
+    with pytest.raises(ValueError):
+        trainer.ema_variables()

@@ -160,6 +160,10 @@ def main():
     ap.add_argument("--pesq_label_mode", type=str, default="host",
                     choices=("host", "host_async", "device"),
                     help="PESQ label schedule for the D step")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="generator weight EMA (TrainConfig."
+                    "gen_ema_decay); evals/saves the smoothed weights "
+                    "alongside the raw ones")
     ap.add_argument("--data_from", type=str, default=None,
                     help="reuse train/eval dirs from a previous run dir "
                     "(symlinked) instead of building a corpus")
@@ -202,6 +206,7 @@ def main():
             decay_epochs=args.decay_epochs,
             time_loss_domain=args.time_loss_domain,
             pesq_label_mode=args.pesq_label_mode,
+            gen_ema_decay=args.ema_decay,
         ),
     )
     if args.remat:
@@ -230,6 +235,12 @@ def main():
         )
         print(f"resumed from {args.resume} at step "
               f"{int(jax.device_get(trainer.state.step))}", flush=True)
+        if trainer.ema_params is not None:
+            # re-seed the EMA from the RESTORED weights (it was built
+            # from the fresh init before the restore replaced state)
+            trainer.ema_params = jax.jit(
+                lambda t: jax.tree.map(jnp.asarray, t)
+            )(trainer.state.gen_params)
     if args.max_new_steps:
         args.max_steps = (
             int(jax.device_get(trainer.state.step)) + args.max_new_steps
@@ -253,12 +264,17 @@ def main():
     # --resume relaunch can't overwrite a better ckpt_best with a worse
     # first eval (round-2 advisor finding)
     best_pesq = [-1.0]
+    best_ema_pesq = [-1.0]
     eval_path = os.path.join(args.out, "eval.jsonl")
     if os.path.exists(eval_path):
         with open(eval_path) as fh:
             prior = [json.loads(ln) for ln in fh if ln.strip()]
         if prior:
             best_pesq[0] = max(r["agg"]["enh"]["pesq"] for r in prior)
+            ema_prior = [r["agg_ema"]["enh"]["pesq"] for r in prior
+                         if r.get("agg_ema")]
+            if ema_prior:
+                best_ema_pesq[0] = max(ema_prior)
             print(f"seeded best_pesq={best_pesq[0]:.3f} from prior evals",
                   flush=True)
 
@@ -268,6 +284,18 @@ def main():
         enh = Enhancer(cfg, variables)
         rows, agg = eval_holdout(enh, args.out)
         corr = disc_pesq_correlation(trainer, args.out, cfg)
+        agg_ema = None
+        if trainer.ema_params is not None:
+            enh_ema = Enhancer(cfg, jax.device_get(trainer.ema_variables()))
+            _, agg_ema = eval_holdout(enh_ema, args.out)
+            if agg_ema["enh"]["pesq"] > best_ema_pesq[0]:
+                best_ema_pesq[0] = agg_ema["enh"]["pesq"]
+                from cmgan_tpu.checkpoint import save_variables
+
+                save_variables(
+                    os.path.join(args.out, "ckpt_best_ema"),
+                    jax.device_get(trainer.ema_variables()),
+                )
         if agg["enh"]["pesq"] > best_pesq[0]:
             # rolling best checkpoint (fixed path, overwritten): an
             # interrupted run keeps its best resumable TrainState
@@ -279,11 +307,15 @@ def main():
             )
         rec = {"tag": tag, "step": int(state.step), "time": time.time(),
                "agg": agg, "rows": rows, "disc_corr": corr}
+        if agg_ema is not None:
+            rec["agg_ema"] = agg_ema
         with open(os.path.join(args.out, "eval.jsonl"), "a") as fh:
             fh.write(json.dumps(rec) + "\n")
+        ema_txt = (f" ema_pesq={agg_ema['enh']['pesq']:.3f}"
+                   if agg_ema is not None else "")
         print(f"[eval {tag}] step={rec['step']} "
               f"enh_pesq={agg['enh']['pesq']:.3f} noisy_pesq={agg['noisy']['pesq']:.3f} "
-              f"disc_r={corr['pearson_r']:.3f}", flush=True)
+              f"disc_r={corr['pearson_r']:.3f}{ema_txt}", flush=True)
         return rec
 
     snapshot_eval("init")
