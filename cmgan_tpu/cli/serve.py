@@ -18,8 +18,11 @@ Protocol (one connection = one audio stream, mono float32 @ 16 kHz):
 Each connection gets its own StreamingEnhancer (independent
 normalization/crossfade state); all connections share one jitted
 program, so the first connection pays the compile and the rest reuse
-it. For very high stream density, batch lockstep streams in ONE
-connection-side process via StreamingEnhancer(num_streams=N) instead.
+it. With `--slots N`, concurrent connections are instead multiplexed
+into ONE fixed-shape batch-N device program (streaming.StreamBatcher
+behind a BatcherWorker tick thread) — higher stream density per chip,
+at the cost of output becoming asynchronous to input within the
+latency budget.
 """
 
 from __future__ import annotations
@@ -80,11 +83,171 @@ def send_frame(sock, payload: bytes):
     sock.sendall(_LEN.pack(len(payload)) + payload)
 
 
+_DONE = object()  # out-queue sentinel: stream fully delivered
+
+
+class _SlotSession:
+    """One connection's view of a shared BatcherWorker slot."""
+
+    def __init__(self, worker, slot: int):
+        import queue
+
+        self.worker = worker
+        self.slot = slot
+        self.pending = np.zeros(0, np.float32)  # guarded by worker.cond
+        self.n_in = 0
+        self.draining = False
+        self.zero_chunks_left = 0
+        self.delivered = 0
+        self.out_q = queue.Queue()
+
+    def feed(self, block: np.ndarray):
+        with self.worker.cond:
+            self.pending = np.concatenate([self.pending, block])
+            self.n_in += block.size
+            self.worker.cond.notify_all()
+
+    def finish(self):
+        """No more input: pad the remainder and schedule the drain ticks
+        that flush the lookahead delay (StreamingEnhancer.flush logic,
+        expressed as ordinary ticks)."""
+        with self.worker.cond:
+            self.draining = True
+            b = self.worker.batcher
+            self.zero_chunks_left = -(-b.lookahead // b.chunk) + 1
+            self.worker.cond.notify_all()
+
+
+class BatcherWorker:
+    """Owns a StreamBatcher and a tick thread; concurrent connections
+    share ONE fixed-shape device batch instead of dispatching a
+    single-stream program each (`--slots`). Sessions attach via
+    `open_session`, feed asynchronously, and read enhanced audio from
+    their own queue — the worker coalesces whichever sessions have a
+    full chunk into each device step."""
+
+    def __init__(self, cfg, variables, num_slots, **stream_kw):
+        import threading
+
+        from cmgan_tpu.streaming import StreamBatcher
+
+        self.batcher = StreamBatcher(
+            cfg, variables, num_slots=num_slots, **stream_kw
+        )
+        self.cond = threading.Condition()
+        self.sessions = {}  # slot -> _SlotSession
+        self._to_close = []  # slots freed by abort, recycled by the worker
+        self._stop = False
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def open_session(self, timeout: float = 30.0):
+        """Claim a slot (waits up to `timeout` for one to free)."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        with self.cond:
+            while not self.batcher._free:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    raise RuntimeError(
+                        f"no free slot within {timeout}s "
+                        f"({self.batcher.num_slots} busy)"
+                    )
+                self.cond.wait(left)
+            slot = self.batcher.open()
+            sess = _SlotSession(self, slot)
+            self.sessions[slot] = sess
+            return sess
+
+    def abort(self, sess: _SlotSession):
+        """Drop a session (client vanished). The slot is recycled by the
+        worker thread (not here): batcher.step may be running outside
+        the lock, and an open() re-using the slot concurrently with that
+        step's state writes would race."""
+        with self.cond:
+            if self.sessions.pop(sess.slot, None) is not None:
+                self._to_close.append(sess.slot)
+                self.cond.notify_all()
+
+    def shutdown(self):
+        with self.cond:
+            self._stop = True
+            self.cond.notify_all()
+        self.thread.join(timeout=10)
+
+    # ------------------------------------------------------------------
+    def _gather(self):
+        """Under cond: pop one chunk from every ready session."""
+        chunk = self.batcher.chunk
+        blocks = {}
+        for slot, s in self.sessions.items():
+            if s.pending.size >= chunk:
+                blocks[slot] = s.pending[:chunk]
+                s.pending = s.pending[chunk:]
+            elif s.draining:
+                if s.pending.size:  # final partial chunk, zero-padded
+                    blocks[slot] = np.concatenate(
+                        [s.pending,
+                         np.zeros(chunk - s.pending.size, np.float32)]
+                    )
+                    s.pending = np.zeros(0, np.float32)
+                elif s.zero_chunks_left > 0:
+                    s.zero_chunks_left -= 1
+                    blocks[slot] = np.zeros(chunk, np.float32)
+        return blocks
+
+    def _drain_closes(self):
+        """Under cond, worker thread only (never concurrent with step)."""
+        while self._to_close:
+            self.batcher.close(self._to_close.pop())
+        self.cond.notify_all()
+
+    def _run(self):
+        while True:
+            with self.cond:
+                self._drain_closes()
+                blocks = self._gather()
+                while not blocks and not self._stop:
+                    self.cond.wait(0.1)
+                    self._drain_closes()
+                    blocks = self._gather()
+                if self._stop:
+                    return
+            # device step OUTSIDE the lock: feeds/opens stay responsive
+            outs = self.batcher.step(blocks)
+            with self.cond:
+                for slot, out in outs.items():
+                    s = self.sessions.get(slot)
+                    if s is None:  # aborted mid-step
+                        continue
+                    out = out[: s.n_in - s.delivered]  # trim drain excess
+                    if out.size:
+                        s.delivered += out.size
+                        s.out_q.put(out)
+                    if (
+                        s.draining
+                        and s.pending.size == 0
+                        and (s.zero_chunks_left == 0
+                             or s.delivered >= s.n_in)
+                    ):
+                        s.out_q.put(_DONE)
+                        del self.sessions[slot]
+                        self.batcher.close(slot)
+                        self.cond.notify_all()
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
+        srv = self.server
+        if getattr(srv, "worker", None) is not None:
+            self._handle_batched(srv)
+        else:
+            self._handle_solo(srv)
+
+    def _handle_solo(self, srv):
         from cmgan_tpu.streaming import StreamingEnhancer
 
-        srv = self.server
         enh = StreamingEnhancer(
             srv.cfg,
             srv.variables,
@@ -114,6 +277,51 @@ class _Handler(socketserver.BaseRequestHandler):
             if out.size:
                 send_frame(self.request, out.astype("<f4").tobytes())
 
+    def _handle_batched(self, srv):
+        """Same wire protocol, but enhancement rides the shared
+        BatcherWorker batch. A sender thread forwards enhanced audio as
+        it becomes ready (output is asynchronous to input here)."""
+        import threading
+
+        try:
+            sess = srv.worker.open_session()
+        except RuntimeError as exc:
+            log.warning("rejecting %s: %s", self.client_address, exc)
+            return
+        log.info("stream from %s (slot %d, latency %d samples)",
+                 self.client_address, sess.slot,
+                 srv.worker.batcher.latency_samples)
+
+        def sender():
+            while True:
+                item = sess.out_q.get()
+                if item is _DONE:
+                    send_frame(self.request, b"")
+                    return
+                try:
+                    send_frame(self.request, item.astype("<f4").tobytes())
+                except OSError:
+                    return
+
+        t = threading.Thread(target=sender, daemon=True)
+        t.start()
+        try:
+            while True:
+                try:
+                    frame = recv_frame(self.request)
+                except ProtocolError as exc:
+                    log.warning("dropping %s: %s", self.client_address, exc)
+                    return
+                if frame is None:
+                    return
+                if frame == b"":
+                    sess.finish()
+                    t.join()
+                    return
+                sess.feed(np.frombuffer(frame, dtype="<f4").astype(np.float32))
+        finally:
+            srv.worker.abort(sess)
+
 
 class StreamServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
@@ -122,7 +330,12 @@ class StreamServer(socketserver.ThreadingTCPServer):
 
 def make_server(cfg, variables, host="127.0.0.1", port=7860,
                 chunk=8000, left_context=24000, lookahead=4000,
-                emit="wola"):
+                emit="wola", slots=0):
+    """slots=0: one StreamingEnhancer per connection (each connection
+    dispatches its own batch-1 program). slots=N: N-slot BatcherWorker —
+    concurrent connections share one fixed-shape batch-N device program
+    (higher stream density per chip; output becomes asynchronous to
+    input within the latency budget)."""
     server = StreamServer((host, port), _Handler)
     server.cfg = cfg
     server.variables = variables
@@ -130,6 +343,19 @@ def make_server(cfg, variables, host="127.0.0.1", port=7860,
         "chunk": chunk, "left_context": left_context, "lookahead": lookahead,
         "emit": emit,
     }
+    server.worker = None
+    if slots > 0:
+        server.worker = BatcherWorker(
+            cfg, variables, num_slots=slots, chunk=chunk,
+            left_context=left_context, lookahead=lookahead, emit=emit,
+        )
+        _orig_close = server.server_close
+
+        def _close():
+            server.worker.shutdown()
+            _orig_close()
+
+        server.server_close = _close
     return server
 
 
@@ -181,6 +407,10 @@ def parse_args(argv=None):
     p.add_argument("--emit", type=str, default="wola",
                    choices=["wola", "crossfade"],
                    help="seam handling (see streaming.StreamingEnhancer)")
+    p.add_argument("--slots", type=int, default=0,
+                   help="batch N concurrent connections into one "
+                   "fixed-shape device program (0 = per-connection "
+                   "programs)")
     # reuse the evaluate CLI's loader surface
     p.add_argument("--test_dir", help=argparse.SUPPRESS, default=None)
     return p.parse_args(argv)
@@ -209,7 +439,7 @@ def main(argv=None):
     server = make_server(
         cfg, variables, host=args.host, port=args.port,
         chunk=args.chunk, left_context=args.left_context,
-        lookahead=args.lookahead, emit=args.emit,
+        lookahead=args.lookahead, emit=args.emit, slots=args.slots,
     )
     log.info("serving on %s:%d", args.host, args.port)
     try:

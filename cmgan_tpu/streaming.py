@@ -12,10 +12,10 @@ Algorithmic latency = chunk + lookahead (+ compute). The TSCNet time
 attention and dilated convs see `left_context` seconds of past
 context. Measured on the round-3 trained checkpoint (QUALITY_r03.md
 S5, `tools/streaming_eval.py`): 1 s context / 0.25 s lookahead /
-0.5 s chunk scores held-out PESQ 3.066 vs 3.211 offline (-0.145;
-SSNR -1.1 dB) — the gap is a per-window re-estimation/seam effect,
-not context starvation or causal normalization (both ruled out by
-the diagnostics recorded there).
+0.5 s chunk scores held-out PESQ 3.073 (wola emission; 3.066 with
+crossfade) vs 3.211 offline — the remaining gap is the per-window
+noise-profile re-estimation, not context starvation or causal
+normalization (both ruled out by the diagnostics recorded there).
 
 Level normalization uses a running RMS of the input (the offline
 whole-track RMS is unavailable causally), inverted on emission.
@@ -299,3 +299,193 @@ class StreamingEnhancer:
         tail = self.flush()
         if tail.size:
             yield tail
+
+
+class StreamBatcher:
+    """Slot-based batched streaming engine for serving.
+
+    `StreamingEnhancer(num_streams=S)` batches S streams that advance in
+    LOCKSTEP — fine for offline batch jobs, wrong for a server whose
+    connections start, stall and end independently. StreamBatcher keeps
+    S independent slots behind ONE fixed-shape jitted window program
+    (the TPU-native shape discipline: never re-trace for concurrency;
+    idle slots ride along as wasted lanes, masked out on the host):
+
+        slot = b.open()                 # claim a slot (resets its state)
+        out = b.step({slot: chunk})     # tick any subset of slots
+        b.close(slot)                   # release
+
+    Each `step` call consumes exactly `chunk` samples for every slot in
+    the dict and returns the aligned enhanced samples per slot (empty
+    rows while the slot's initial `lookahead` alignment skip drains).
+    Slots NOT in the dict keep their analysis state frozen — their lane
+    still flows through the device batch but the result is discarded,
+    so a slot's output depends only on its own chunk sequence (pinned
+    by tests against a solo StreamingEnhancer).
+
+    End-of-stream is caller accounting (see cli/serve.py): pad the
+    final partial chunk with zeros, feed ceil(lookahead/chunk)+1 zero
+    chunks to drain the lookahead delay, and trim the delivered total
+    to the real input length.
+    """
+
+    def __init__(
+        self,
+        cfg: CMGANConfig,
+        variables,
+        num_slots: int = 8,
+        chunk: int = 8000,
+        left_context: int = 24000,
+        lookahead: int = 4000,
+        crossfade: int = 400,
+        dtype=None,
+        rms_decay: float = 0.95,
+        emit: str = "wola",
+    ):
+        dsp = cfg.dsp
+        assert chunk % dsp.hop == 0 and left_context % dsp.hop == 0
+        assert lookahead % dsp.hop == 0 and 0 <= crossfade <= chunk
+        assert num_slots >= 1
+        assert emit in ("wola", "crossfade")
+        if emit == "wola" and lookahead == 0:
+            emit = "crossfade"
+        self.cfg = cfg
+        self.chunk = chunk
+        self.left_context = left_context
+        self.lookahead = lookahead
+        self.crossfade = crossfade
+        self.window = left_context + chunk + lookahead
+        self.rms_decay = rms_decay
+        self.num_slots = num_slots
+        self.emit = emit
+        self.variables = variables
+        self._enhance_window = _window_fn(cfg, dtype)
+        if emit == "wola":
+            ramp = min(chunk, lookahead)
+            length = chunk + lookahead
+            w = np.ones(length, np.float32)
+            t = (np.arange(ramp, dtype=np.float32) + 0.5) / ramp
+            rise = 0.5 - 0.5 * np.cos(np.pi * t)
+            w[:ramp] = rise
+            w[length - ramp :] = rise[::-1]
+            self._wola_w = w
+
+        s = num_slots
+        self._free = list(range(s))
+        self._in_buffer = np.zeros((s, self.window), np.float32)
+        self._mean_sq = np.zeros(s)
+        self._warm = np.zeros(s, bool)
+        self._skip = np.zeros(s, np.int64)
+        if emit == "wola":
+            length = chunk + lookahead
+            self._acc = np.zeros((s, length), np.float32)
+            self._wacc = np.zeros((s, length), np.float32)
+        self._prev_tail = np.zeros((s, crossfade), np.float32)
+        self._has_tail = np.zeros(s, bool)
+
+    @property
+    def latency_samples(self) -> int:
+        return self.chunk + self.lookahead
+
+    def open(self) -> int:
+        """Claim a free slot and reset its per-stream state."""
+        if not self._free:
+            raise RuntimeError(f"all {self.num_slots} slots in use")
+        i = self._free.pop(0)
+        self._in_buffer[i] = 0.0
+        self._mean_sq[i] = 0.0
+        self._warm[i] = False
+        self._skip[i] = self.lookahead
+        if self.emit == "wola":
+            self._acc[i] = 0.0
+            self._wacc[i] = 0.0
+        self._prev_tail[i] = 0.0
+        self._has_tail[i] = False
+        return i
+
+    def close(self, slot: int):
+        assert slot not in self._free
+        self._free.append(slot)
+
+    def step(self, blocks: dict) -> dict:
+        """Tick: {slot: [chunk] float32} -> {slot: aligned output}.
+
+        Every value must be exactly `chunk` samples. Returns per-slot
+        aligned enhanced samples (may be shorter than `chunk` — or empty
+        — while the slot's initial alignment skip drains).
+        """
+        if not blocks:
+            return {}
+        act = np.asarray(sorted(blocks), np.int64)
+        new = np.stack([np.asarray(blocks[i], np.float32) for i in act])
+        assert new.shape == (act.size, self.chunk)
+
+        # slide active rows' analysis windows
+        self._in_buffer[act] = np.concatenate(
+            [self._in_buffer[act, self.chunk :], new], axis=1
+        )
+        block_ms = np.mean(new**2, axis=1)
+        cold = ~self._warm[act]
+        upd = np.where(
+            cold,
+            np.maximum(block_ms, 1e-8),
+            self.rms_decay * self._mean_sq[act]
+            + (1 - self.rms_decay) * block_ms,
+        )
+        self._mean_sq[act] = upd
+        self._warm[act] = True
+
+        c = (1.0 / np.sqrt(np.maximum(self._mean_sq, 1e-8))).astype(np.float32)
+        est = np.asarray(
+            self._enhance_window(
+                self.variables, jnp.asarray(self._in_buffer), jnp.asarray(c)
+            )
+        )
+        start = self.window - self.lookahead - self.chunk
+
+        if self.emit == "wola":
+            region = est[act, start:]
+            self._acc[act] += self._wola_w * region
+            self._wacc[act] += self._wola_w
+            num = self._acc[act, : self.chunk]
+            den = self._wacc[act, : self.chunk]
+            out = np.where(
+                den > 1e-3, num / np.maximum(den, 1e-3), region[:, : self.chunk]
+            ).astype(np.float32)
+            shift = self.chunk
+            self._acc[act] = np.concatenate(
+                [self._acc[act, shift:],
+                 np.zeros((act.size, shift), np.float32)], axis=1,
+            )
+            self._wacc[act] = np.concatenate(
+                [self._wacc[act, shift:],
+                 np.zeros((act.size, shift), np.float32)], axis=1,
+            )
+        else:
+            out = est[act, start : start + self.chunk].copy()
+            if self.crossfade > 0:
+                fade = np.linspace(0.0, 1.0, self.crossfade, dtype=np.float32)
+                tails = self._prev_tail[act]
+                blend = (
+                    fade * out[:, : self.crossfade] + (1.0 - fade) * tails
+                )
+                out[:, : self.crossfade] = np.where(
+                    self._has_tail[act][:, None],
+                    blend,
+                    out[:, : self.crossfade],
+                )
+                nxt = est[
+                    act, start + self.chunk : start + self.chunk + self.crossfade
+                ]
+                if nxt.shape[1] == self.crossfade:
+                    self._prev_tail[act] = nxt
+                    self._has_tail[act] = True
+                else:
+                    self._has_tail[act] = False
+
+        result = {}
+        for row, i in enumerate(act):
+            cut = int(min(self._skip[i], self.chunk))
+            self._skip[i] -= cut
+            result[int(i)] = out[row, cut:]
+        return result

@@ -102,3 +102,81 @@ def test_protocol_rejects_hostile_headers():
         run_case(6, b"abcdef")  # not a multiple of 4
     assert run_case(0) == b""
     assert run_case(8, b"12345678") == b"12345678"
+
+
+# ---------------------------------------------------------------------------
+# Batched serving (--slots): BatcherWorker multiplexing
+
+
+@pytest.fixture(scope="module")
+def served_batched(served):
+    cfg, variables, kw, _ = served
+    server = make_server(cfg, variables, port=0, slots=3, **kw)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield cfg, variables, kw, server.server_address
+    server.shutdown()
+    server.server_close()
+
+
+def test_batched_server_matches_direct(served_batched):
+    """One connection through the slot-multiplexed server equals the
+    direct engine (same chunk schedule, WOLA default)."""
+    cfg, variables, kw, addr = served_batched
+    rng = np.random.default_rng(7)
+    track = (rng.standard_normal(9500) * 0.1).astype(np.float32)
+
+    via_server = enhance_via_server(addr, track, block=1700, timeout=120)
+
+    direct_enh = StreamingEnhancer(cfg, variables, **kw)
+    direct = np.concatenate([direct_enh.push(track), direct_enh.flush()])[
+        : track.size
+    ]
+    assert via_server.shape == direct.shape == track.shape
+    np.testing.assert_allclose(via_server, direct, atol=2e-5, rtol=1e-4)
+
+
+def test_batched_server_concurrent_streams_match_direct(served_batched):
+    """Three concurrent connections (== slot count) each reproduce
+    their own solo-engine output: slot isolation holds under real
+    concurrency and asynchronous arrival."""
+    cfg, variables, kw, addr = served_batched
+    rng = np.random.default_rng(8)
+    tracks = {
+        name: (rng.standard_normal(n) * amp).astype(np.float32)
+        for name, n, amp in
+        [("a", 9500, 0.1), ("b", 6200, 0.05), ("c", 12000, 0.2)]
+    }
+
+    results = {}
+
+    def run(name):
+        results[name] = enhance_via_server(
+            addr, tracks[name], block=1300, timeout=120
+        )
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in tracks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+
+    for name, track in tracks.items():
+        e = StreamingEnhancer(cfg, variables, **kw)
+        ref = np.concatenate([e.push(track), e.flush()])[: track.size]
+        assert results[name].shape == track.shape
+        np.testing.assert_allclose(
+            results[name], ref, atol=2e-5, rtol=1e-4, err_msg=name
+        )
+
+
+def test_batched_server_slot_reuse_across_serial_connections(served_batched):
+    """More serial connections than slots: slots recycle cleanly."""
+    cfg, variables, kw, addr = served_batched
+    rng = np.random.default_rng(9)
+    for i in range(5):  # > 3 slots, sequentially
+        track = (rng.standard_normal(4200) * 0.1).astype(np.float32)
+        out = enhance_via_server(addr, track, block=2100, timeout=120)
+        e = StreamingEnhancer(cfg, variables, **kw)
+        ref = np.concatenate([e.push(track), e.flush()])[: track.size]
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)

@@ -160,3 +160,84 @@ def test_window_program_shared_across_instances(tiny):
                           lookahead=400, crossfade=80)
     assert a._enhance_window is b._enhance_window
     assert a._enhance_window is _window_fn(cfg, None)
+
+
+# ---------------------------------------------------------------------------
+# StreamBatcher: slot-based serving engine
+
+
+def _chunks(x, n):
+    return [x[i : i + n] for i in range(0, x.size, n)]
+
+
+def test_batcher_slot_matches_solo_enhancer(tiny, rng):
+    """A slot's output depends only on its own chunk sequence: equal to
+    a solo StreamingEnhancer even with other slots active and the slot
+    skipping ticks."""
+    from cmgan_tpu.streaming import StreamBatcher
+
+    cfg, variables = tiny
+    kw = dict(chunk=2000, left_context=6000, lookahead=1000)
+    n = 8000
+    xa = rng.standard_normal(n).astype(np.float32) * 0.1
+    xb = rng.standard_normal(n).astype(np.float32) * 0.2
+
+    solo = StreamingEnhancer(cfg, variables, **kw)
+    ref = np.concatenate([solo.push(xa), solo.flush()])
+
+    b = StreamBatcher(cfg, variables, num_slots=3, **kw)
+    sa, sb = b.open(), b.open()
+    outs_a = []
+    a_chunks = _chunks(xa, 2000)
+    b_chunks = _chunks(xb, 2000)
+    # interleave: a ticks on every step, b only on even steps (stalls),
+    # plus drain ticks for a's lookahead tail
+    drain = -(-1000 // 2000) + 1
+    zeros = np.zeros(2000, np.float32)
+    for t in range(len(a_chunks) + drain):
+        blocks = {}
+        blocks[sa] = a_chunks[t] if t < len(a_chunks) else zeros
+        if t % 2 == 0 and t // 2 < len(b_chunks):
+            blocks[sb] = b_chunks[t // 2]
+        out = b.step(blocks)
+        outs_a.append(out[sa])
+    got = np.concatenate(outs_a)[:n]
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_batcher_slot_reuse_resets_state(tiny, rng):
+    """close + open must hand back a slot with fresh state: a reused
+    slot reproduces a fresh stream's output."""
+    from cmgan_tpu.streaming import StreamBatcher
+
+    cfg, variables = tiny
+    kw = dict(chunk=2000, left_context=6000, lookahead=1000)
+    x = rng.standard_normal(4000).astype(np.float32) * 0.1
+
+    def run(b, slot_expected=None):
+        s = b.open()
+        if slot_expected is not None:
+            assert s == slot_expected
+        outs = [b.step({s: c})[s] for c in _chunks(x, 2000)]
+        outs += [b.step({s: np.zeros(2000, np.float32)})[s] for _ in range(2)]
+        b.close(s)
+        return np.concatenate(outs)[: x.size]
+
+    b = StreamBatcher(cfg, variables, num_slots=1, **kw)
+    first = run(b, slot_expected=0)
+    second = run(b, slot_expected=0)  # same physical slot, reused
+    np.testing.assert_allclose(first, second, atol=1e-6)
+
+
+def test_batcher_slot_exhaustion_and_shape_checks(tiny):
+    from cmgan_tpu.streaming import StreamBatcher
+
+    cfg, variables = tiny
+    b = StreamBatcher(
+        cfg, variables, num_slots=2, chunk=2000, left_context=6000,
+        lookahead=1000,
+    )
+    b.open(), b.open()
+    with pytest.raises(RuntimeError):
+        b.open()
+    assert b.step({}) == {}

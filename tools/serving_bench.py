@@ -1,0 +1,119 @@
+"""Measure streaming-serving density: concurrent realtime streams/chip.
+
+For each batch width S, times the steady-state window step of
+  - StreamingEnhancer(num_streams=S)  (lockstep batch)
+  - StreamBatcher(num_slots=S)        (serving engine, masked slots)
+and reports the per-step latency, the realtime factor per stream, and
+the sustainable concurrent realtime stream count
+(S * chunk_seconds / step_seconds, requiring step_seconds <=
+chunk_seconds for real-time operation).
+
+    python tools/serving_bench.py --model <ckpt> [--json out.json]
+        [--widths 1,4,8,16] [--chunk_seconds 0.5]
+
+Runs on the real chip — check nothing else is using it first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_fn(step_fn, warmup=3, iters=10):
+    for _ in range(warmup):
+        step_fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step_fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="reports/trained_generator_r03")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--widths", default="1,4,8,16")
+    ap.add_argument("--chunk_seconds", type=float, default=0.5)
+    ap.add_argument("--left_context_s", type=float, default=1.0)
+    ap.add_argument("--lookahead_s", type=float, default=0.25)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 window program (validated -0.001 PESQ "
+                    "for inference)")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"),
+    )
+    import jax.numpy as jnp
+
+    from cmgan_tpu.config import CMGANConfig
+    from cmgan_tpu.streaming import StreamBatcher, StreamingEnhancer
+    from tools.streaming_eval import load_generator_variables
+
+    cfg = CMGANConfig()
+    variables = load_generator_variables(args.model)
+    dtype = jnp.bfloat16 if args.bf16 else None
+
+    sr = 16_000
+    chunk = int(args.chunk_seconds * sr)
+    kw = dict(
+        chunk=chunk,
+        left_context=int(args.left_context_s * sr),
+        lookahead=int(args.lookahead_s * sr),
+    )
+    chunk_s = chunk / sr
+    rng = np.random.default_rng(0)
+    widths = [int(w) for w in args.widths.split(",")]
+
+    rows = []
+    for S in widths:
+        block = (rng.standard_normal((S, chunk)) * 0.1).astype(np.float32)
+
+        enh = StreamingEnhancer(
+            cfg, variables, num_streams=S, dtype=dtype, **kw
+        )
+        enh.push(block)  # fill pipeline/compile
+        t_lockstep = bench_fn(lambda: enh.push(block))
+
+        b = StreamBatcher(cfg, variables, num_slots=S, dtype=dtype, **kw)
+        slots = [b.open() for _ in range(S)]
+        blocks = {s: block[i] for i, s in enumerate(slots)}
+        b.step(blocks)
+        t_batcher = bench_fn(lambda: b.step(blocks))
+
+        row = {
+            "streams": S,
+            "lockstep_step_ms": round(t_lockstep * 1e3, 2),
+            "batcher_step_ms": round(t_batcher * 1e3, 2),
+            "lockstep_rt_streams": round(S * chunk_s / t_lockstep, 1),
+            "batcher_rt_streams": round(S * chunk_s / t_batcher, 1),
+            "realtime_ok": bool(t_batcher <= chunk_s),
+        }
+        rows.append(row)
+        print(row, flush=True)
+
+    out = {
+        "model": args.model,
+        "chunk_seconds": chunk_s,
+        "dtype": "bf16" if args.bf16 else "fp32",
+        "rows": rows,
+    }
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
