@@ -168,6 +168,7 @@ class BatcherWorker:
         with self.cond:
             if self.sessions.pop(sess.slot, None) is not None:
                 self._to_close.append(sess.slot)
+                sess.out_q.put(_DONE)  # unblock the connection's sender
                 self.cond.notify_all()
 
     def shutdown(self):
