@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 window program (validated -0.001 PESQ "
                     "for inference)")
+    ap.add_argument("--scan_iters", type=int, default=20,
+                    help="chained window steps per device dispatch for "
+                    "the compute-only timing (lower = faster compile)")
     args = ap.parse_args()
 
     import jax
@@ -91,7 +94,7 @@ def main():
         # pays only the compute measured here.
         win_fn = _window_fn(cfg, dtype)
         window = kw["left_context"] + chunk + kw["lookahead"]
-        K = 20
+        K = args.scan_iters
 
         @jax.jit
         def chained(variables, w, c):
