@@ -79,6 +79,18 @@ def main():
     out = enhance(variables, segments)
     np.asarray(out[0, :4])
 
+    # XLA's own FLOP count for the compiled program (per dispatch), for
+    # the MFU line below; best-effort — cost_analysis may be unavailable
+    # through some backends.
+    program_tflops = None
+    try:
+        cost = enhance.lower(variables, segments).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        program_tflops = float(cost["flops"]) / 1e12
+    except Exception as exc:
+        print(f"cost_analysis unavailable: {exc!r}", file=sys.stderr)
+
     # chain iterations (output feeds next input) so one final host fetch
     # serializes the whole sequence without per-iteration sync overhead
     iters = 10
@@ -99,6 +111,17 @@ def main():
         % (batch, "bf16" if use_bf16 else "fp32"),
         "vs_baseline": round(rtf / BASELINE_RTF, 3),
     }
+    # MFU / roofline: achieved TFLOP/s over the measured wall-clock vs
+    # v5e bf16 peak (197 TFLOP/s). Wall time includes dispatch/tunnel
+    # overhead, so this is a LOWER bound on device MFU. The model is a
+    # 1.83M-param conv/attention net on short sequences — small matmuls
+    # by MXU standards — so tens of percent is not expected; the honest
+    # hardware framing the README carries.
+    if program_tflops is not None:
+        achieved = program_tflops * iters / dt
+        record["program_tflops_per_dispatch"] = round(program_tflops, 4)
+        record["achieved_tflops_per_sec"] = round(achieved, 3)
+        record["mfu_vs_v5e_bf16_peak"] = round(achieved / 197.0, 4)
     try:
         record.update(bench_training())
     except Exception as exc:  # training bench is best-effort extra signal

@@ -84,6 +84,18 @@ def send_frame(sock, payload: bytes):
 
 
 _DONE = object()  # out-queue sentinel: stream fully delivered
+_ABORT = object()  # out-queue sentinel: stream dropped server-side —
+# the sender must NOT emit the b'' clean-completion frame (a live
+# client would misread a truncated stream as complete); the socket is
+# simply closed.
+
+# Backpressure cap on un-enhanced buffered input per connection: the
+# worker drains one chunk per slot per device tick, so a client that
+# uploads faster than the tick rate (e.g. a whole file at once) would
+# otherwise grow _SlotSession.pending without bound. 30 s of audio is
+# far above any real-time burst; past it, feed() blocks (which stops
+# the handler reading the socket — natural TCP backpressure).
+MAX_PENDING_SAMPLES = 16_000 * 30
 
 
 class _SlotSession:
@@ -103,6 +115,17 @@ class _SlotSession:
 
     def feed(self, block: np.ndarray):
         with self.worker.cond:
+            # backpressure: wait for the worker to drain below the cap
+            # (bail out if the session was aborted/failed meanwhile, or
+            # the worker died — otherwise this would block forever)
+            while (
+                self.pending.size + block.size > MAX_PENDING_SAMPLES
+                and self.worker.sessions.get(self.slot) is self
+                and self.worker.thread.is_alive()
+            ):
+                self.worker.cond.wait(1.0)
+            if self.worker.sessions.get(self.slot) is not self:
+                return  # aborted server-side; handler will tear down
             self.pending = np.concatenate([self.pending, block])
             self.n_in += block.size
             self.worker.cond.notify_all()
@@ -168,7 +191,7 @@ class BatcherWorker:
         with self.cond:
             if self.sessions.pop(sess.slot, None) is not None:
                 self._to_close.append(sess.slot)
-                sess.out_q.put(_DONE)  # unblock the connection's sender
+                sess.out_q.put(_ABORT)  # unblock the connection's sender
                 self.cond.notify_all()
 
     def shutdown(self):
@@ -216,8 +239,25 @@ class BatcherWorker:
                 if self._stop:
                     return
             # device step OUTSIDE the lock: feeds/opens stay responsive
-            outs = self.batcher.step(blocks)
+            try:
+                outs = self.batcher.step(blocks)
+            except Exception:
+                # a failed device step (bad state, JAX runtime error)
+                # must not silently kill the single tick thread — that
+                # would hang every current and future batched connection
+                # on a _DONE that never arrives. Abort the sessions that
+                # were in flight and keep ticking for new ones.
+                log.exception("batcher.step failed; aborting %d sessions",
+                              len(self.sessions))
+                with self.cond:
+                    for slot, s in list(self.sessions.items()):
+                        del self.sessions[slot]
+                        self._to_close.append(slot)
+                        s.out_q.put(_ABORT)
+                    self.cond.notify_all()
+                continue
             with self.cond:
+                self.cond.notify_all()  # wake feeds blocked on backpressure
                 for slot, out in outs.items():
                     s = self.sessions.get(slot)
                     if s is None:  # aborted mid-step
@@ -297,7 +337,20 @@ class _Handler(socketserver.BaseRequestHandler):
             while True:
                 item = sess.out_q.get()
                 if item is _DONE:
-                    send_frame(self.request, b"")
+                    try:
+                        send_frame(self.request, b"")
+                    except OSError:
+                        pass
+                    return
+                if item is _ABORT:
+                    # server-side drop: close WITHOUT the b'' completion
+                    # frame so the client sees a truncated stream, not a
+                    # clean finish; the shutdown also unblocks the
+                    # handler thread's recv_frame.
+                    try:
+                        self.request.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
                     return
                 try:
                     send_frame(self.request, item.astype("<f4").tobytes())
@@ -317,11 +370,19 @@ class _Handler(socketserver.BaseRequestHandler):
                     return
                 if frame == b"":
                     sess.finish()
-                    t.join()
+                    # bounded: if the worker cannot deliver _DONE within
+                    # the drain budget (it should take a few ticks), the
+                    # finally-abort below unblocks the sender via _ABORT
+                    # rather than hanging this connection forever.
+                    t.join(timeout=120.0)
+                    if t.is_alive():
+                        log.warning("drain timed out for %s (slot %d)",
+                                    self.client_address, sess.slot)
                     return
                 sess.feed(np.frombuffer(frame, dtype="<f4").astype(np.float32))
         finally:
             srv.worker.abort(sess)
+            t.join(timeout=5.0)
 
 
 class StreamServer(socketserver.ThreadingTCPServer):

@@ -134,8 +134,13 @@ class RelPosAttention(nn.Module):
             if self.dtype is not None:
                 rel_emb = rel_emb.astype(self.dtype)
             logits = logits + jnp.einsum("bhid,ijd->bhij", q, rel_emb) * scale
-            attn = jax.nn.softmax(logits, axis=-1)
-            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+            # softmax always in fp32: with dtype=bf16 the matmuls stay
+            # at MXU bf16 rate, but a bf16 exp/normalize visibly skews
+            # attention weights (the one remaining bf16-sensitive op —
+            # norms and losses are already fp32, see QUALITY_r04
+            # precision audit). Free for fp32 configs.
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = Dense(self.dim, dtype=self.dtype, name="to_out")(out)

@@ -52,7 +52,12 @@ def _window_fn(cfg: CMGANConfig, dtype):
         def fn(variables, windows, c):
             # windows: [S, window], c: [S] per-stream level scales
             x = windows * c[:, None]
-            spec = stft(x, dsp.n_fft, dsp.hop)
+            # dft_impl threaded through like train/steps.py: a config
+            # trained with dft_impl='matmul' (e.g. long_form_48k with
+            # seq_parallel > 1) must stream through the numerically
+            # identical DFT, and CPU seq-sharded inference cannot mix
+            # the fft thunk with shard_map in one module.
+            spec = stft(x, dsp.n_fft, dsp.hop, dft_impl=dsp.dft_impl)
             packed = power_compress(spec, exponent=dsp.compress_exponent)
             est_real, est_imag = model.apply(variables, packed, train=False)
             est = power_uncompress(
@@ -60,7 +65,7 @@ def _window_fn(cfg: CMGANConfig, dtype):
                 est_imag.astype(jnp.float32),
                 exponent=dsp.compress_exponent,
             )
-            return istft(est, dsp.n_fft, dsp.hop) / c[:, None]
+            return istft(est, dsp.n_fft, dsp.hop, dft_impl=dsp.dft_impl) / c[:, None]
 
         _SHARED_WINDOW_FNS[key] = fn
     return fn

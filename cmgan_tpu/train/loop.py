@@ -198,6 +198,42 @@ class Trainer:
             "batch_stats": self.state.gen_stats,
         }
 
+    def restore_checkpoint(self, path: str):
+        """Restore a full TrainState checkpoint into this trainer.
+
+        When an EMA tree is tracked (gen_ema_decay > 0), it is restored
+        from the sibling ``<path>_ema`` variables if present (written by
+        save_checkpoint / the quality tools' rolling best), else
+        re-seeded from the restored raw weights — never left tracking
+        the stale pre-restore init (round-3 advisor finding).
+        """
+        from cmgan_tpu.checkpoint import restore_train_state
+
+        self.state = replicate_state(
+            self.mesh,
+            restore_train_state(path, jax.device_get(self.state)),
+        )
+        if self.ema_params is not None:
+            import jax.numpy as jnp
+
+            seed = jax.device_get(self.state.gen_params)
+            ema_path = path + "_ema"
+            if os.path.isdir(ema_path):
+                from cmgan_tpu.checkpoint import restore_variables
+
+                seed = restore_variables(
+                    ema_path,
+                    {
+                        "params": seed,
+                        "batch_stats": jax.device_get(self.state.gen_stats),
+                    },
+                )["params"]
+                log.info("restored EMA tree from %s", ema_path)
+            self.ema_params = jax.jit(
+                lambda t: jax.tree.map(jnp.asarray, t)
+            )(seed)
+        return self.state
+
     def drain_pending_d(self):
         """Apply the deferred discriminator update (host_async mode).
 

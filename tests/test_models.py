@@ -128,3 +128,35 @@ def test_generator_gradients_flow(gen_vars):
     # Nearly all parameters should receive gradient signal.
     nonzero = sum(1 for n in norms if n > 0)
     assert nonzero / len(norms) > 0.95
+
+
+def test_bf16_attention_softmax_is_fp32():
+    """Precision policy (QUALITY_r04 audit): with dtype=bf16 the
+    attention matmuls run bf16 on the MXU, but the softmax exp must be
+    fp32 — the one bf16-sensitive op left in the body (norms, losses
+    and model outputs are already fp32 by flax defaults / operand
+    promotion). Pinned at the HLO level: every exponential in the
+    lowered program operates on an f32 tensor."""
+    import jax.numpy as jnp
+
+    from cmgan_tpu.models.conformer import RelPosAttention
+
+    m = RelPosAttention(
+        dim=16, heads=2, dim_head=8, attention_impl="xla",
+        dtype=jnp.bfloat16,
+    )
+    x32 = jnp.linspace(-3, 3, 2 * 32 * 16, dtype=jnp.float32).reshape(2, 32, 16)
+    variables = m.init({"params": jax.random.key(0)}, x32.astype(jnp.bfloat16))
+
+    fn = jax.jit(lambda v, x: m.apply(v, x))
+    hlo = fn.lower(variables, x32.astype(jnp.bfloat16)).as_text()
+    exp_lines = [ln for ln in hlo.splitlines() if "exponential" in ln]
+    assert exp_lines, "no softmax exponential found in the lowered program"
+    assert all("bf16" not in ln for ln in exp_lines), exp_lines
+
+    # numeric sanity: bf16 compute tracks the fp32 module closely
+    m32 = RelPosAttention(dim=16, heads=2, dim_head=8, attention_impl="xla")
+    out16 = np.asarray(fn(variables, x32.astype(jnp.bfloat16)), np.float32)
+    out32 = np.asarray(m32.apply(variables, x32))
+    assert np.all(np.isfinite(out16))
+    np.testing.assert_allclose(out16, out32, atol=0.05, rtol=0.1)

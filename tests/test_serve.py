@@ -180,3 +180,114 @@ def test_batched_server_slot_reuse_across_serial_connections(served_batched):
         e = StreamingEnhancer(cfg, variables, **kw)
         ref = np.concatenate([e.push(track), e.flush()])[: track.size]
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 advisor findings: worker crash recovery, backpressure, abort frames
+
+
+def test_batched_worker_survives_step_failure(served):
+    """An exception in the shared tick thread must abort in-flight
+    sessions as TRUNCATED streams (EOF with no b'' completion frame)
+    and keep serving later connections — not silently kill the tick
+    thread and hang every batched connection forever."""
+    import socket as socket_mod
+
+    from cmgan_tpu.cli.serve import recv_frame, send_frame
+
+    cfg, variables, kw, _ = served
+    server = make_server(cfg, variables, port=0, slots=2, **kw)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        worker = server.worker
+        orig = worker.batcher.step
+        armed = {"on": True}
+
+        def boom(blocks):
+            if armed["on"]:
+                armed["on"] = False
+                raise RuntimeError("injected device failure")
+            return orig(blocks)
+
+        worker.batcher.step = boom
+
+        rng = np.random.default_rng(3)
+        track = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+        with socket_mod.create_connection(server.server_address) as sock:
+            sock.settimeout(60)
+            send_frame(sock, track.astype("<f4").tobytes())  # 2 chunks
+            frames = []
+            while True:
+                f = recv_frame(sock)
+                if f is None:
+                    break
+                frames.append(f)
+        # server-side abort: no clean-completion frame may be sent
+        assert b"" not in frames
+        assert worker.thread.is_alive()
+
+        # the worker keeps ticking: a fresh connection works end to end
+        out = enhance_via_server(
+            server.server_address, track, block=1300, timeout=120
+        )
+        e = StreamingEnhancer(cfg, variables, **kw)
+        ref = np.concatenate([e.push(track), e.flush()])[: track.size]
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_feed_backpressure_bounds_pending(served, monkeypatch):
+    """A client uploading much faster than the tick rate must not grow
+    unbounded host buffers: feed() blocks at MAX_PENDING_SAMPLES (TCP
+    backpressure) and the stream still completes exactly."""
+    import time
+
+    from cmgan_tpu.cli import serve as serve_mod
+    from cmgan_tpu.cli.serve import _DONE, BatcherWorker
+
+    cfg, variables, kw, _ = served
+    chunk = kw["chunk"]
+    cap = 3 * chunk
+    monkeypatch.setattr(serve_mod, "MAX_PENDING_SAMPLES", cap)
+    worker = BatcherWorker(cfg, variables, num_slots=1, emit="wola", **kw)
+    try:
+        orig = worker.batcher.step
+
+        def slow(blocks):
+            time.sleep(0.05)  # make the upload outrun the tick rate
+            return orig(blocks)
+
+        worker.batcher.step = slow
+        sess = worker.open_session()
+        rng = np.random.default_rng(4)
+        track = (rng.standard_normal(20 * chunk) * 0.1).astype(np.float32)
+
+        def feeder():
+            for lo in range(0, track.size, chunk):
+                sess.feed(track[lo : lo + chunk])
+            sess.finish()
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        outs, max_pending = [], 0
+        while True:
+            item = sess.out_q.get(timeout=120)
+            if item is _DONE:
+                break
+            outs.append(item)
+            with worker.cond:
+                max_pending = max(max_pending, sess.pending.size)
+        t.join(30)
+        assert not t.is_alive()
+        assert max_pending <= cap
+
+        est = np.concatenate(outs)
+        assert est.size == track.size
+        e = StreamingEnhancer(cfg, variables, **kw)
+        ref = np.concatenate([e.push(track), e.flush()])[: track.size]
+        np.testing.assert_allclose(est, ref, atol=2e-5, rtol=1e-4)
+    finally:
+        worker.shutdown()

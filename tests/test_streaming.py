@@ -241,3 +241,29 @@ def test_batcher_slot_exhaustion_and_shape_checks(tiny):
     with pytest.raises(RuntimeError):
         b.open()
     assert b.step({}) == {}
+
+
+def test_window_fn_threads_dft_impl(tiny):
+    """Streaming must honor cfg.dsp.dft_impl (round-3 advisor finding):
+    a matmul-DFT config's window program contains no fft HLO (so
+    seq-sharded CPU inference can't hit the fft+shard_map module
+    restriction), and matches the fft path numerically."""
+    from cmgan_tpu.config import DSPConfig
+    from cmgan_tpu.streaming import _window_fn
+
+    cfg, variables = tiny
+    cfg_mm = dataclasses.replace(cfg, dsp=DSPConfig(dft_impl="matmul"))
+
+    rng = np.random.default_rng(11)
+    windows = jnp.asarray(
+        rng.standard_normal((1, 9000)).astype(np.float32) * 0.1
+    )
+    c = jnp.ones((1,), np.float32)
+
+    fn_mm = _window_fn(cfg_mm, None)
+    hlo = fn_mm.lower(variables, windows, c).as_text()
+    assert "fft" not in hlo.lower()
+
+    out_mm = np.asarray(fn_mm(variables, windows, c))
+    out_fft = np.asarray(_window_fn(cfg, None)(variables, windows, c))
+    np.testing.assert_allclose(out_mm, out_fft, atol=1e-4, rtol=1e-4)

@@ -499,3 +499,63 @@ def test_gen_ema_disabled_by_default():
     assert trainer.ema_params is None
     with pytest.raises(ValueError):
         trainer.ema_variables()
+
+
+def test_restore_checkpoint_restores_ema(tmp_path):
+    """Trainer.restore_checkpoint must restore the EMA tree from the
+    sibling <path>_ema variables when present — not leave it tracking
+    the stale pre-restore init (round-3 advisor finding) — and re-seed
+    it from the restored raw weights when absent."""
+    import os
+
+    from cmgan_tpu.checkpoint import save_train_state, save_variables
+
+    cfg = tiny_cfg(batch_size=8, cut_len=2000)
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, pesq_label_mode="device", gen_ema_decay=0.5
+        ),
+    )
+
+    class _Sized:
+        def __len__(self):
+            return 10
+
+    rng = np.random.default_rng(0)
+    clean = rng.standard_normal((8, 2000)).astype(np.float32) * 0.1
+    noisy = clean + rng.standard_normal((8, 2000)).astype(np.float32) * 0.03
+
+    t1 = Trainer(cfg, _Sized())
+    t1.train_step(clean, noisy)
+    t1.train_step(clean, noisy)
+    ema_saved = jax.device_get(t1.ema_params)
+    raw_saved = jax.device_get(t1.state.gen_params)
+    path = str(tmp_path / "ck")
+    save_train_state(path, t1.state)
+    save_variables(path + "_ema", jax.device_get(t1.ema_variables()))
+
+    # EMA lags raw after two d=0.5 steps (it still holds init mass), so
+    # the two trees are distinguishable
+    assert any(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) > 1e-6
+        for a, b in zip(jax.tree.leaves(ema_saved), jax.tree.leaves(raw_saved))
+    )
+
+    t2 = Trainer(cfg, _Sized())
+    t2.restore_checkpoint(path)
+    for a, b in zip(
+        jax.tree.leaves(ema_saved), jax.tree.leaves(jax.device_get(t2.ema_params))
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # no sibling _ema dir: re-seed from the restored raw weights
+    path2 = str(tmp_path / "ck2")
+    save_train_state(path2, t1.state)
+    assert not os.path.isdir(path2 + "_ema")
+    t3 = Trainer(cfg, _Sized())
+    t3.restore_checkpoint(path2)
+    for a, b in zip(
+        jax.tree.leaves(raw_saved), jax.tree.leaves(jax.device_get(t3.ema_params))
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
