@@ -132,7 +132,7 @@ def analyze(clean: np.ndarray, est: np.ndarray):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="reports/trained_generator_r03")
+    ap.add_argument("--model", default="reports/trained_generator_r04_ema")
     ap.add_argument("--eval_dir", default="/tmp/qrun_fp32c/eval")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()

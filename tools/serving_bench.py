@@ -38,7 +38,7 @@ def bench_fn(step_fn, warmup=3, iters=10):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="reports/trained_generator_r03")
+    ap.add_argument("--model", default="reports/trained_generator_r04_ema")
     ap.add_argument("--json", default=None)
     ap.add_argument("--widths", default="1,4,8,16")
     ap.add_argument("--chunk_seconds", type=float, default=0.5)

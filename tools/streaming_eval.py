@@ -47,7 +47,7 @@ def load_generator_variables(path: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="reports/trained_generator_r03")
+    ap.add_argument("--model", default="reports/trained_generator_r04_ema")
     ap.add_argument("--eval_dir", default="/tmp/corpus_r3/eval")
     ap.add_argument("--json", default=None)
     ap.add_argument("--chunk_seconds", type=float, default=0.5)
