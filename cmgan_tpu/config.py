@@ -9,7 +9,7 @@ frozen dataclasses so configs are hashable and can be closed over by jit.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,6 +127,19 @@ class TrainConfig:
     # production-serving lever (evaluate/export the smoothed weights
     # while training the raw ones). See Trainer.ema_variables().
     gen_ema_decay: float = 0.0
+    # Restrict the SUPERVISED generator losses (RI, magnitude, time) to
+    # a [start, end) sample range of the cut_len training window —
+    # the streaming fine-tune recipe (QUALITY_r04 §5): with the range
+    # set to the emission region of a deployment window shape
+    # (left_context .. left_context + chunk + lookahead), every
+    # gradient teaches "enhance THESE samples given this much past and
+    # this little future", matching what StreamingEnhancer emits. The
+    # metric-GAN term and the D step stay whole-window (D remains a
+    # global quality scorer; its small 0.05 weight regularizes the
+    # unsupervised remainder). None = whole window (reference
+    # semantics, src/train.py:124-151). No reference counterpart —
+    # the reference has no streaming path.
+    loss_region: Optional[Tuple[int, int]] = None
 
 
 @dataclasses.dataclass(frozen=True)

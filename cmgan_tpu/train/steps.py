@@ -112,6 +112,25 @@ def _generator_forward(gen: TSCNet, variables, clean, noisy, cfg: CMGANConfig,
     }
 
 
+def loss_region_frames(cfg: CMGANConfig):
+    """Static (s0, s1, f0, f1) for TrainConfig.loss_region, or None.
+
+    Samples [s0, s1) of the cut_len window; STFT frames [f0, f1) are
+    the frames whose centers (t * hop, center-padded STFT) fall inside
+    the sample range.
+    """
+    if cfg.train.loss_region is None:
+        return None
+    s0, s1 = cfg.train.loss_region
+    L, hop = cfg.train.cut_len, cfg.dsp.hop
+    if not (0 <= s0 < s1 <= L):
+        raise ValueError(f"loss_region {cfg.train.loss_region} outside "
+                         f"[0, {L}]")
+    f0 = -(-s0 // hop)
+    f1 = (s1 - 1) // hop + 1
+    return (s0, s1, f0, f1)
+
+
 def _generator_loss(
     disc: MetricDiscriminator,
     disc_vars,
@@ -120,6 +139,7 @@ def _generator_loss(
     weights,
     train: bool = False,
     dropout_rng=None,
+    region=None,
 ):
     """Reference: src/train.py:124-151. In train mode the discriminator
     runs with dropout active and its SN power iteration advancing, as in
@@ -129,6 +149,11 @@ def _generator_loss(
     Losses are reduced per example first (mean over non-batch axes) so
     eval can weight partial batches by real rows; the batch means equal
     the reference's whole-batch means exactly (equal-sized rows).
+
+    `region` = (s0, s1, f0, f1) from loss_region_frames(): the RI /
+    magnitude / time losses reduce over only samples [s0, s1) / frames
+    [f0, f1) (the streaming fine-tune recipe, TrainConfig.loss_region);
+    the GAN term stays whole-window.
     """
     w_ri, w_mag, w_time, w_gan = weights
     if train:
@@ -148,12 +173,20 @@ def _generator_loss(
     def per_ex(x):
         return jnp.mean(x.reshape(x.shape[0], -1), axis=-1)
 
+    if region is None:
+        fsl = tsl = slice(None)
+    else:
+        s0, s1, f0, f1 = region
+        fsl, tsl = slice(f0, f1), slice(s0, s1)
+
     gan_loss = (score.reshape(-1) - 1.0) ** 2
-    loss_mag = per_ex((out["est_mag"] - out["clean_mag"]) ** 2)
-    loss_ri = per_ex((out["est_real"] - out["clean_real"]) ** 2) + per_ex(
-        (out["est_imag"] - out["clean_imag"]) ** 2
+    loss_mag = per_ex((out["est_mag"][:, fsl] - out["clean_mag"][:, fsl]) ** 2)
+    loss_ri = per_ex(
+        (out["est_real"][:, fsl] - out["clean_real"][:, fsl]) ** 2
+    ) + per_ex((out["est_imag"][:, fsl] - out["clean_imag"][:, fsl]) ** 2)
+    time_loss = per_ex(
+        jnp.abs(out["est_audio"][:, tsl] - time_target[:, tsl])
     )
-    time_loss = per_ex(jnp.abs(out["est_audio"] - time_target))
     total = w_ri * loss_ri + w_mag * loss_mag + w_time * time_loss + w_gan * gan_loss
     parts = {
         "loss_ri": jnp.mean(loss_ri),
@@ -172,6 +205,7 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
     disc_lr = make_disc_lr_schedule(cfg, steps_per_epoch)
     weights = cfg.train.loss_weights
     time_norm = cfg.train.time_loss_domain == "normalized"
+    region = loss_region_frames(cfg)
 
     def _time_target(out, clean):
         # see TrainConfig.time_loss_domain: raw clean reproduces the
@@ -199,7 +233,7 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
             }
             total, _, parts, disc_stats = _generator_loss(
                 disc, disc_vars, out, _time_target(out, clean), weights,
-                train=True, dropout_rng=disc_rng,
+                train=True, dropout_rng=disc_rng, region=region,
             )
             return total, (out, parts, disc_stats)
 
@@ -321,7 +355,8 @@ def make_train_steps(cfg: CMGANConfig, steps_per_epoch: int, dtype=None):
         )
         disc_vars = {"params": state.disc_params, "batch_stats": state.disc_stats}
         total, total_per_ex, parts, _ = _generator_loss(
-            disc, disc_vars, out, _time_target(out, clean), weights
+            disc, disc_vars, out, _time_target(out, clean), weights,
+            region=region,
         )
         metrics = dict(parts, gen_loss=total, gen_loss_per_ex=total_per_ex)
         handoff = {

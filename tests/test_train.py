@@ -559,3 +559,110 @@ def test_restore_checkpoint_restores_ema(tmp_path):
         jax.tree.leaves(raw_saved), jax.tree.leaves(jax.device_get(t3.ema_params))
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loss_region_frames_math():
+    from cmgan_tpu.train.steps import loss_region_frames
+
+    cfg = tiny_cfg(cut_len=4000)
+    assert loss_region_frames(cfg) is None
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, loss_region=(2000, 4000))
+    )
+    # hop 100: first frame centered at/after 2000 is 20; frames with
+    # centers < 4000 end at 39 -> slice [20, 40)
+    assert loss_region_frames(cfg) == (2000, 4000, 20, 40)
+    bad = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, loss_region=(0, 5000))
+    )
+    with pytest.raises(ValueError):
+        loss_region_frames(bad)
+
+
+def test_loss_region_equals_manual_slice():
+    """With loss_region set, the RI/mag/time parts must equal the same
+    losses computed on manually sliced tensors, and the GAN term must
+    stay whole-window (streaming fine-tune recipe, QUALITY_r04 §5)."""
+    from cmgan_tpu.models import MetricDiscriminator, TSCNet
+    from cmgan_tpu.train.steps import (
+        _generator_forward,
+        _generator_loss,
+        loss_region_frames,
+    )
+
+    cfg = tiny_cfg(batch_size=2, cut_len=4000)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, loss_region=(2000, 4000))
+    )
+    region = loss_region_frames(cfg)
+    s0, s1, f0, f1 = region
+
+    state = init_train_state(cfg, seed=0, steps_per_epoch=10)
+    gen = TSCNet(cfg.model)
+    disc = MetricDiscriminator(cfg.model)
+    gvars = {"params": state.gen_params, "batch_stats": state.gen_stats}
+    dvars = {"params": state.disc_params, "batch_stats": state.disc_stats}
+
+    rng = np.random.default_rng(1)
+    clean = rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
+    noisy = clean + rng.standard_normal((2, 4000)).astype(np.float32) * 0.05
+    out = _generator_forward(gen, gvars, jnp.asarray(clean),
+                             jnp.asarray(noisy), cfg, train=False)
+    target = out["clean_audio_n"]
+    weights = cfg.train.loss_weights
+
+    _, _, parts_r, _ = _generator_loss(
+        disc, dvars, out, target, weights, region=region
+    )
+    sliced = dict(out)
+    for k in ("est_mag", "clean_mag", "est_real", "clean_real",
+              "est_imag", "clean_imag"):
+        sliced[k] = out[k][:, f0:f1]
+    sliced["est_audio"] = out["est_audio"][:, s0:s1]
+    _, _, parts_m, _ = _generator_loss(
+        disc, dvars, sliced, target[:, s0:s1], weights
+    )
+    for k in ("loss_mag", "loss_ri", "loss_time"):
+        np.testing.assert_allclose(
+            float(parts_r[k]), float(parts_m[k]), rtol=1e-6, err_msg=k
+        )
+    # GAN term: whole-window D score regardless of the region
+    _, _, parts_full, _ = _generator_loss(disc, dvars, out, target, weights)
+    np.testing.assert_allclose(
+        float(parts_r["loss_gan"]), float(parts_full["loss_gan"]), rtol=1e-6
+    )
+    # and the region genuinely changes the supervised parts
+    assert abs(float(parts_r["loss_mag"]) - float(parts_full["loss_mag"])) > 0
+
+
+def test_loss_region_train_step_runs():
+    """Fused G+label+D step with loss_region: finite losses, params move."""
+    cfg = tiny_cfg(batch_size=8, cut_len=4000)
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, loss_region=(2500, 4000), pesq_label_mode="device"
+        ),
+    )
+    mesh = make_mesh(cfg.mesh)
+    _, _, _, _, fused = make_train_steps(cfg, steps_per_epoch=10)
+    state = init_train_state(cfg, seed=0, steps_per_epoch=10)
+
+    from cmgan_tpu.parallel import replicate_state
+
+    state = replicate_state(mesh, state)
+    before = jax.device_get(state.gen_params)
+    rng = np.random.default_rng(2)
+    clean = rng.standard_normal((8, 4000)).astype(np.float32) * 0.1
+    noisy = clean + rng.standard_normal((8, 4000)).astype(np.float32) * 0.05
+    clean_d, noisy_d = shard_batch(mesh, clean, noisy)
+    state, metrics, disc_loss = fused(state, clean_d, noisy_d)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert np.isfinite(float(disc_loss))
+    after = jax.device_get(state.gen_params)
+    moved = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        before, after,
+    )
+    assert max(jax.tree.leaves(moved)) > 0.0

@@ -190,6 +190,23 @@ def main():
     ap.add_argument("--data_from", type=str, default=None,
                     help="reuse train/eval dirs from a previous run dir "
                     "(symlinked) instead of building a corpus")
+    ap.add_argument("--loss_region", type=str, default=None,
+                    help="s0:s1 sample range for the supervised G losses "
+                    "(TrainConfig.loss_region) — the streaming fine-tune "
+                    "recipe; e.g. 20000:32000 for the emission region of "
+                    "a 1.25s ctx / 0.5s chunk / 0.25s lookahead window")
+    ap.add_argument("--init_gen", type=str, default=None,
+                    help="initialize the GENERATOR (params+batch_stats) "
+                    "from an exported inference-variables checkpoint "
+                    "(e.g. reports/trained_generator_r04_ema); D and both "
+                    "optimizers start fresh — the fine-tune entry point")
+    ap.add_argument("--init_lr", type=float, default=None,
+                    help="override TrainConfig.init_lr (use a lower LR "
+                    "when fine-tuning from --init_gen)")
+    ap.add_argument("--save_each_eval", action="store_true",
+                    help="save step-tagged inference variables (EMA when "
+                    "tracked, else raw) at every eval, for offline sweeps "
+                    "such as the CPU streaming eval")
     args = ap.parse_args()
 
     import dataclasses
@@ -232,6 +249,9 @@ def main():
             time_loss_domain=args.time_loss_domain,
             pesq_label_mode=args.pesq_label_mode,
             gen_ema_decay=args.ema_decay,
+            loss_region=(tuple(int(v) for v in args.loss_region.split(":"))
+                         if args.loss_region else None),
+            **({"init_lr": args.init_lr} if args.init_lr is not None else {}),
         ),
     )
     if args.remat:
@@ -256,6 +276,26 @@ def main():
         trainer.restore_checkpoint(args.resume)
         print(f"resumed from {args.resume} at step "
               f"{int(jax.device_get(trainer.state.step))}", flush=True)
+    if args.init_gen:
+        # fine-tune entry: load exported generator variables into a
+        # fresh TrainState (step 0, fresh D + optimizers); the EMA tree
+        # re-seeds from the loaded weights
+        from cmgan_tpu.checkpoint import restore_variables
+        from cmgan_tpu.parallel import replicate_state
+
+        host = jax.device_get(trainer.state)
+        v = restore_variables(
+            os.path.abspath(args.init_gen),
+            {"params": host.gen_params, "batch_stats": host.gen_stats},
+        )
+        host = host.replace(gen_params=v["params"],
+                            gen_stats=v["batch_stats"])
+        trainer.state = replicate_state(trainer.mesh, host)
+        if trainer.ema_params is not None:
+            trainer.ema_params = jax.jit(
+                lambda t: jax.tree.map(jnp.asarray, t)
+            )(v["params"])
+        print(f"generator initialized from {args.init_gen}", flush=True)
     if args.max_new_steps:
         args.max_steps = (
             int(jax.device_get(trainer.state.step)) + args.max_new_steps
@@ -319,6 +359,16 @@ def main():
 
             save_train_state(
                 os.path.join(args.out, "ckpt_best"), trainer.state
+            )
+        if args.save_each_eval:
+            from cmgan_tpu.checkpoint import save_variables
+
+            vs = (jax.device_get(trainer.ema_variables())
+                  if trainer.ema_params is not None
+                  else {"params": state.gen_params,
+                        "batch_stats": state.gen_stats})
+            save_variables(
+                os.path.join(args.out, f"ckpt_step{int(state.step)}"), vs
             )
         rec = {"tag": tag, "step": int(state.step), "time": time.time(),
                "fold": args.fold, "holdout": holdout,
