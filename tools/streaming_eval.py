@@ -47,11 +47,21 @@ def load_generator_variables(path: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="reports/trained_generator_r04_ema")
+    ap.add_argument("--model", default="reports/trained_generator_r04_ema",
+                    help="checkpoint path, or a comma-separated list — "
+                    "models share the jitted window/offline programs "
+                    "(variables are jit ARGUMENTS), so evaluating N "
+                    "checkpoints costs one compile")
     ap.add_argument("--eval_dir", default="/tmp/corpus_r3/eval")
     ap.add_argument("--json", default=None)
     ap.add_argument("--chunk_seconds", type=float, default=0.5)
     ap.add_argument("--emit", default="wola", choices=["wola", "crossfade"])
+    ap.add_argument(
+        "--platform", default="cpu", choices=["cpu", "tpu"],
+        help="cpu (default) runs beside a busy chip; tpu uses the real "
+        "chip (ONE process may own it) — per-window dispatches ride the "
+        "tunnel but the model forward is ~100x faster than this host",
+    )
     ap.add_argument(
         "--offline_from", default=None,
         help="prior results JSON whose 'offline' aggregate is reused "
@@ -71,7 +81,12 @@ def main():
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"),
+    )
 
     from cmgan_tpu.config import CMGANConfig
     from cmgan_tpu.data import read_wav
@@ -81,7 +96,7 @@ def main():
 
     cfg = CMGANConfig()
     sr = cfg.dsp.sample_rate
-    variables = load_generator_variables(args.model)
+    model_paths = args.model.split(",")
 
     tracks = []
     for name in HOLDOUT:
@@ -97,63 +112,71 @@ def main():
         )
         return {"pesq": pesq, "ssnr": ssnr, "stoi": stoi}
 
-    results = {"model": args.model, "emit": args.emit, "rows": []}
-
     agg = lambda d: {k: float(np.mean([v[k] for v in d.values()]))
                      for k in ("pesq", "ssnr", "stoi")}
-    if args.offline_from:
-        with open(args.offline_from) as fh:
-            results["offline"] = json.load(fh)["offline"]
-        print(f"offline (reused): {results['offline']}", flush=True)
-    else:
-        enh = Enhancer(cfg, variables)
-        offline = {}
-        for name, clean, noisy in tracks:
-            offline[name] = score(clean, enh.enhance(noisy))
-            print(f"offline {name}: {offline[name]}", flush=True)
-        results["offline"] = agg(offline)
-
     chunk = int(args.chunk_seconds * sr)
-    for left_s, look_s in configs:
-        per = {}
-        for name, clean, noisy in tracks:
-            s = StreamingEnhancer(
-                cfg, variables,
-                chunk=chunk,
-                left_context=int(left_s * sr),
-                lookahead=int(look_s * sr),
-                emit=args.emit,
-            )
-            outs = [s.push(noisy)]
-            outs.append(s.flush())
-            est = np.concatenate([o for o in outs if o.size])[: noisy.size]
-            per[name] = score(clean, est)
-        row = {
-            "left_context_s": left_s,
-            "lookahead_s": look_s,
-            "latency_ms": 1000.0 * (chunk / sr + look_s),
-            "agg": agg(per),
-            "delta_pesq_vs_offline": agg(per)["pesq"] - results["offline"]["pesq"],
-            "per_track": per,
-        }
-        results["rows"].append(row)
-        print(f"streaming left={left_s}s look={look_s}s: {row['agg']} "
-              f"(dPESQ {row['delta_pesq_vs_offline']:+.3f})", flush=True)
+    all_results = []
+    for model_path in model_paths:
+        variables = load_generator_variables(model_path)
+        results = {"model": model_path, "emit": args.emit, "rows": []}
 
-    print("\n| config | latency | PESQ | dPESQ | SSNR | STOI |")
-    print("|---|---|---|---|---|---|")
-    o = results["offline"]
-    print(f"| offline | — | {o['pesq']:.3f} | — | {o['ssnr']:.2f} | {o['stoi']:.3f} |")
-    for r in results["rows"]:
-        a = r["agg"]
-        print(f"| {r['left_context_s']} s ctx, {r['lookahead_s']} s look "
-              f"| {r['latency_ms']:.0f} ms | {a['pesq']:.3f} "
-              f"| {r['delta_pesq_vs_offline']:+.3f} | {a['ssnr']:.2f} "
-              f"| {a['stoi']:.3f} |")
+        if args.offline_from:
+            with open(args.offline_from) as fh:
+                results["offline"] = json.load(fh)["offline"]
+            print(f"offline (reused): {results['offline']}", flush=True)
+        else:
+            enh = Enhancer(cfg, variables)
+            offline = {}
+            for name, clean, noisy in tracks:
+                offline[name] = score(clean, enh.enhance(noisy))
+                print(f"[{model_path}] offline {name}: {offline[name]}",
+                      flush=True)
+            results["offline"] = agg(offline)
+
+        for left_s, look_s in configs:
+            per = {}
+            for name, clean, noisy in tracks:
+                s = StreamingEnhancer(
+                    cfg, variables,
+                    chunk=chunk,
+                    left_context=int(left_s * sr),
+                    lookahead=int(look_s * sr),
+                    emit=args.emit,
+                )
+                outs = [s.push(noisy)]
+                outs.append(s.flush())
+                est = np.concatenate([o for o in outs if o.size])[: noisy.size]
+                per[name] = score(clean, est)
+            row = {
+                "left_context_s": left_s,
+                "lookahead_s": look_s,
+                "latency_ms": 1000.0 * (chunk / sr + look_s),
+                "agg": agg(per),
+                "delta_pesq_vs_offline": agg(per)["pesq"] - results["offline"]["pesq"],
+                "per_track": per,
+            }
+            results["rows"].append(row)
+            print(f"[{model_path}] streaming left={left_s}s look={look_s}s: "
+                  f"{row['agg']} "
+                  f"(dPESQ {row['delta_pesq_vs_offline']:+.3f})", flush=True)
+
+        print(f"\nmodel: {model_path}")
+        print("| config | latency | PESQ | dPESQ | SSNR | STOI |")
+        print("|---|---|---|---|---|---|")
+        o = results["offline"]
+        print(f"| offline | — | {o['pesq']:.3f} | — | {o['ssnr']:.2f} | {o['stoi']:.3f} |")
+        for r in results["rows"]:
+            a = r["agg"]
+            print(f"| {r['left_context_s']} s ctx, {r['lookahead_s']} s look "
+                  f"| {r['latency_ms']:.0f} ms | {a['pesq']:.3f} "
+                  f"| {r['delta_pesq_vs_offline']:+.3f} | {a['ssnr']:.2f} "
+                  f"| {a['stoi']:.3f} |")
+        all_results.append(results)
 
     if args.json:
         with open(args.json, "w") as fh:
-            json.dump(results, fh, indent=2)
+            json.dump(all_results[0] if len(all_results) == 1
+                      else {"models": all_results}, fh, indent=2)
 
 
 if __name__ == "__main__":
