@@ -34,10 +34,9 @@ def main():
     # persistent compile cache: a warm process start skips the remote
     # 2-5 min/program XLA compiles (measured: full bench 355 s warm vs
     # ~15 min cold through the axon tunnel)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"),
-    )
+    from cmgan_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache(jax.config)
     import jax.numpy as jnp
 
     from cmgan_tpu.config import CMGANConfig

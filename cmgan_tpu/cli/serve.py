@@ -488,10 +488,9 @@ def main(argv=None):
 
     # persistent compile cache (as bench.py/quality_run.py): a server
     # restart must not pay the multi-minute remote compile again
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"),
-    )
+    from cmgan_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache(jax.config)
 
     from cmgan_tpu.cli.evaluate import load_variables
     from cmgan_tpu.config import CMGANConfig

@@ -20,6 +20,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache (durable repo-local dir, shared with bench /
+# the dryrun / the quality tools): repeat suite runs skip the slow CPU
+# compiles of the train-step and sharding tests
+from cmgan_tpu.utils.cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache(jax.config)
+
 import numpy as np
 import pytest
 

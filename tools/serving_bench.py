@@ -54,10 +54,9 @@ def main():
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"),
-    )
+    from cmgan_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache(jax.config)
     import jax.numpy as jnp
 
     from cmgan_tpu.config import CMGANConfig

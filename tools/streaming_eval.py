@@ -83,10 +83,9 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"),
-    )
+    from cmgan_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache(jax.config)
 
     from cmgan_tpu.config import CMGANConfig
     from cmgan_tpu.data import read_wav
