@@ -296,6 +296,7 @@ class _Handler(socketserver.BaseRequestHandler):
             left_context=srv.stream_args["left_context"],
             lookahead=srv.stream_args["lookahead"],
             emit=srv.stream_args["emit"],
+            dtype=srv.stream_args["dtype"],
         )
         log.info("stream from %s (latency %d samples)",
                  self.client_address, enh.latency_samples)
@@ -392,7 +393,7 @@ class StreamServer(socketserver.ThreadingTCPServer):
 
 def make_server(cfg, variables, host="127.0.0.1", port=7860,
                 chunk=8000, left_context=24000, lookahead=4000,
-                emit="wola", slots=0):
+                emit="wola", slots=0, dtype=None):
     """slots=0: one StreamingEnhancer per connection (each connection
     dispatches its own batch-1 program). slots=N: N-slot BatcherWorker —
     concurrent connections share one fixed-shape batch-N device program
@@ -403,13 +404,14 @@ def make_server(cfg, variables, host="127.0.0.1", port=7860,
     server.variables = variables
     server.stream_args = {
         "chunk": chunk, "left_context": left_context, "lookahead": lookahead,
-        "emit": emit,
+        "emit": emit, "dtype": dtype,
     }
     server.worker = None
     if slots > 0:
         server.worker = BatcherWorker(
             cfg, variables, num_slots=slots, chunk=chunk,
             left_context=left_context, lookahead=lookahead, emit=emit,
+            dtype=dtype,
         )
         _orig_close = server.server_close
 
@@ -473,6 +475,9 @@ def parse_args(argv=None):
                    help="batch N concurrent connections into one "
                    "fixed-shape device program (0 = per-connection "
                    "programs)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 window compute (measured -0.001 PESQ for "
+                   "inference; the recommended serving configuration)")
     # reuse the evaluate CLI's loader surface
     p.add_argument("--test_dir", help=argparse.SUPPRESS, default=None)
     return p.parse_args(argv)
@@ -497,10 +502,13 @@ def main(argv=None):
 
     cfg = CMGANConfig()
     variables = load_variables(cfg, args)
+    import jax.numpy as jnp
+
     server = make_server(
         cfg, variables, host=args.host, port=args.port,
         chunk=args.chunk, left_context=args.left_context,
         lookahead=args.lookahead, emit=args.emit, slots=args.slots,
+        dtype=jnp.bfloat16 if args.bf16 else None,
     )
     log.info("serving on %s:%d", args.host, args.port)
     try:

@@ -207,11 +207,26 @@ def main():
                     help="save step-tagged inference variables (EMA when "
                     "tracked, else raw) at every eval, for offline sweeps "
                     "such as the CPU streaming eval")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. cpu) — for the "
+                    "tiny-scale reproduction smoke; default: the chip")
+    ap.add_argument("--tiny_model", action="store_true",
+                    help="reduced ModelConfig (16ch/2 TSCB/depth-2 "
+                    "dense/2 heads — the dryrun's CI shape): exercises "
+                    "the full recipe pipeline off-chip in minutes; "
+                    "NOT a quality configuration")
+    ap.add_argument("--holdout_limit", type=int, default=0,
+                    help="score only the first N held-out tracks (the "
+                    "train/holdout SPLIT is unchanged) — cuts the "
+                    "per-eval compile cost for the CI smoke")
     args = ap.parse_args()
 
     import dataclasses
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     # persistent compile cache (see bench.py): warm relaunches skip the
     # multi-minute remote compiles of the train/eval programs
@@ -226,6 +241,10 @@ def main():
     from cmgan_tpu.train import Trainer
 
     holdout = HOLDOUT if args.fold < 0 else fold_holdout(args.fold)
+    if args.holdout_limit:
+        holdout_eval = holdout[: args.holdout_limit]
+    else:
+        holdout_eval = holdout
     os.makedirs(args.out, exist_ok=True)
     if args.data_from:
         for sub in ("train", "eval"):
@@ -256,6 +275,13 @@ def main():
     if args.remat:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, remat=True)
+        )
+    if args.tiny_model:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, num_channels=16, num_tscb_blocks=2,
+                dense_depth=2, attn_heads=2,
+            )
         )
     ds = DemandDataset(cfg.train.data_dir, cfg.train.cut_len)
     train_loader = BatchLoader(
@@ -336,12 +362,14 @@ def main():
         state = jax.device_get(trainer.state)
         variables = {"params": state.gen_params, "batch_stats": state.gen_stats}
         enh = Enhancer(cfg, variables)
-        rows, agg = eval_holdout(enh, args.out, holdout=holdout)
-        corr = disc_pesq_correlation(trainer, args.out, cfg, holdout=holdout)
+        rows, agg = eval_holdout(enh, args.out, holdout=holdout_eval)
+        corr = disc_pesq_correlation(trainer, args.out, cfg,
+                                     holdout=holdout_eval)
         agg_ema = None
         if trainer.ema_params is not None:
             enh_ema = Enhancer(cfg, jax.device_get(trainer.ema_variables()))
-            _, agg_ema = eval_holdout(enh_ema, args.out, holdout=holdout)
+            _, agg_ema = eval_holdout(enh_ema, args.out,
+                                      holdout=holdout_eval)
             if agg_ema["enh"]["pesq"] > best_ema_pesq[0]:
                 best_ema_pesq[0] = agg_ema["enh"]["pesq"]
                 from cmgan_tpu.checkpoint import save_variables
@@ -370,7 +398,7 @@ def main():
                 os.path.join(args.out, f"ckpt_step{int(state.step)}"), vs
             )
         rec = {"tag": tag, "step": int(state.step), "time": time.time(),
-               "fold": args.fold, "holdout": holdout,
+               "fold": args.fold, "holdout": holdout_eval,
                "agg": agg, "rows": rows, "disc_corr": corr}
         if agg_ema is not None:
             rec["agg_ema"] = agg_ema

@@ -40,7 +40,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="reports/trained_generator_r04_ema")
     ap.add_argument("--json", default=None)
-    ap.add_argument("--widths", default="1,4,8,16")
+    # width 1 is excluded by default: XLA constant-folds the chained
+    # single-stream program (r4 measured 0.36 ms/tick — >10x the chip's
+    # peak FLOP rate, physically impossible), so its device row is a
+    # measurement artifact, not a capacity number (VERDICT r4 weak #5)
+    ap.add_argument("--widths", default="4,8,16")
     ap.add_argument("--chunk_seconds", type=float, default=0.5)
     ap.add_argument("--left_context_s", type=float, default=1.0)
     ap.add_argument("--lookahead_s", type=float, default=0.25)
@@ -142,6 +146,9 @@ def main():
         "model": args.model,
         "chunk_seconds": chunk_s,
         "dtype": "bf16" if args.bf16 else "fp32",
+        "excluded": "streams=1 chained row (XLA constant-folds the "
+                    "single-stream chain; its r4 0.36 ms/tick implied "
+                    ">10x peak FLOPs — artifact, not capacity)",
         "rows": rows,
     }
     if args.json:
