@@ -24,6 +24,10 @@ if [ "${SMOKE:-0}" = "1" ]; then
     EXTRA="--platform cpu --tiny_model --eval_every_epochs 1000 --holdout_limit 2"
     BATCH=${BATCH:-2}
     PER_CLEAN=${PER_CLEAN:-1}
+    # the smoke's tiny batch can't shard over an inherited multi-device
+    # CPU mesh (the test suite forces 8 virtual devices; batch 2 is not
+    # divisible by 8) — pin one virtual device for the smoke only
+    export XLA_FLAGS="--xla_force_host_platform_device_count=1"
 else
     STEPS=${STEPS:-8000}
     EXTRA="--eval_every_epochs 10"
